@@ -1,0 +1,278 @@
+"""Binned PDF evaluator — the TPU-native ``pdfz::EvalHist``.
+
+Re-design of reference src/pdfz.{h,cpp}.  The reference registers device
+buffers and launches three CUDA kernels per evaluation (zero_hist /
+bin_samples / eval_pdf, pdfz.cpp:441-488); here evaluation is one pure
+jitted function of ``(samples, params)`` returning ``(pdf_values, norm)``,
+and the buffer-registration machinery disappears.
+
+Semantics preserved exactly:
+  * systematics transform the samples at every evaluation
+    (pdfz.cpp:372-385);
+  * events outside ``[lower, upper)`` in any observable are dropped from
+    both histogram and normalization (pdfz.cpp:388-404);
+  * eval points never move, so their bin ids are precomputed once per
+    dataset (``SetEvalPoints``, pdfz.cpp:245-302): id >= 0 in-domain,
+    -1 out-of-domain -> NaN, -2 dataset mismatch -> 0.0
+    (pdfz.cpp:411-436);
+  * PDF value = bins[id] / (norm * bin_volume).
+
+Extensions over the reference: per-sample weights (planned-but-withdrawn
+in the reference test fixtures, test_pdfz_fixtures.h:46-47) are supported
+natively.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sxmc_tpu.ops import histogram as hist_ops
+from sxmc_tpu.ops import transforms
+
+
+class PdfError(ValueError):
+    """Generic PDF-related error (reference: pdfz.h:93-102)."""
+
+
+class EvalHist:
+    """N-dimensional histogram PDF with on-the-fly systematics.
+
+    Unlike the reference class, this object is immutable configuration +
+    static data; all evaluation state flows through pure functions, so a
+    single instance can be evaluated concurrently (vmap/pjit) without the
+    buffer-aliasing hazards the reference documents (pdfz.h:354-369).
+    """
+
+    def __init__(
+        self,
+        samples,
+        nfields: int,
+        nobservables: int,
+        lower: Sequence[float],
+        upper: Sequence[float],
+        nbins: Sequence[int],
+        dataset: int = 0,
+        weights=None,
+    ):
+        samples = np.asarray(samples, dtype=np.float32)
+        if samples.ndim == 1:
+            if nfields <= 0 or samples.size % nfields != 0:
+                raise PdfError(
+                    "Length of samples array is not divisible by number of "
+                    "fields.")
+            samples = samples.reshape(-1, nfields)
+        if samples.shape[1] != nfields:
+            raise PdfError("Sample array width does not match nfields.")
+        if nobservables == 0:
+            raise PdfError("Number of observables in PDF is zero.")
+        if nobservables > nfields:
+            raise PdfError(
+                "Number of observables cannot be greater than number of "
+                "fields.")
+        if len(upper) != nobservables:
+            raise PdfError(
+                "Number of upper bounds must be same as number of "
+                "observables.")
+        if len(lower) != nobservables:
+            raise PdfError(
+                "Number of lower bounds must be same as number of "
+                "observables.")
+        if len(nbins) != nobservables:
+            raise PdfError(
+                "Size of nbins array must be same as number of observables.")
+        if hist_ops.total_bins(nbins) == 0:
+            raise PdfError("Cannot make histogram with zero bins.")
+
+        self.samples = jnp.asarray(samples)
+        self.weights = (None if weights is None
+                        else jnp.asarray(weights, jnp.float32))
+        self.nfields = nfields
+        self.nobservables = nobservables
+        self.lower = jnp.asarray(lower, jnp.float32)
+        self.upper = jnp.asarray(upper, jnp.float32)
+        self.nbins = tuple(int(b) for b in nbins)
+        self.dataset = int(dataset)
+        self.total_nbins = hist_ops.total_bins(self.nbins)
+        self.bin_volume = hist_ops.bin_volume(lower, upper, self.nbins)
+        self.systematics: Tuple[transforms.SystematicDesc, ...] = ()
+
+    @property
+    def n_mc(self) -> int:
+        return self.samples.shape[0]
+
+    def add_systematic(self, desc: transforms.SystematicDesc) -> None:
+        """Attach a systematic (reference: Eval::AddSystematic)."""
+        self.systematics = self.systematics + (desc,)
+
+    # ---------------------------------------------------------------- eval
+
+    def compute_read_bins(self, points) -> jnp.ndarray:
+        """Precompute eval-point bin ids (reference: pdfz.cpp:245-302).
+
+        ``points`` is ``(npoints, nobservables + 1)``; the final column is
+        the dataset tag.  Returns int32 ids with the reference's sentinel
+        encoding: -1 out-of-domain (NaN at eval), -2 dataset mismatch
+        (0.0 at eval).
+        """
+        points = np.asarray(points, dtype=np.float32)
+        if points.ndim == 1:
+            width = self.nobservables + 1
+            if points.size % width != 0:
+                raise PdfError(
+                    "Number of entries in evaluation points array not "
+                    "divisible by number of observables.")
+            points = points.reshape(-1, width)
+        obs = jnp.asarray(points[:, :self.nobservables])
+        ids, valid = hist_ops.compute_bin_ids(
+            obs, self.lower, self.upper, self.nbins)
+        ds_match = jnp.asarray(points[:, self.nobservables]) == self.dataset
+        ids = jnp.where(ds_match, ids, -2)
+        # Out-of-domain wins over dataset mismatch (pdfz.cpp:295-301).
+        ids = jnp.where(valid, ids, -1)
+        return ids
+
+    def histogram(self, params=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Build (bins, norm) at the given systematic parameters."""
+        if params is None:
+            params = jnp.zeros((max((max(d.par_indices) + 1 for d in
+                                     self.systematics), default=0),),
+                               jnp.float32)
+        return _histogram(self.samples, jnp.asarray(params, jnp.float32),
+                          self.weights, self.lower, self.upper, self.nbins,
+                          self.nobservables, self.systematics)
+
+    def eval(self, read_bins: jnp.ndarray, params=None
+             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Histogram + evaluate at precomputed read_bins.
+
+        Returns:
+            (pdf_values, norm): ``(npoints,)`` f32 densities (NaN/0
+            sentinels applied) and the scalar in-domain norm.
+        """
+        bins, norm = self.histogram(params)
+        values = eval_from_bins(bins, norm, self.bin_volume, read_bins)
+        return values, norm
+
+    def eval_points(self, points, params=None):
+        """Convenience: compute read_bins then evaluate."""
+        rb = self.compute_read_bins(points)
+        return self.eval(rb, params)
+
+    # ------------------------------------------------------------ sampling
+
+    def density_histogram(self, params=None) -> np.ndarray:
+        """Normalized density per bin, shaped ``self.nbins``.
+
+        Reference: EvalHist::CreateHistogram (pdfz.cpp:498-594) —
+        density = bins / bin_volume / norm.
+        """
+        bins, norm = self.histogram(params)
+        norm = jnp.maximum(norm, 1.0)
+        dens = bins / (norm * self.bin_volume)
+        return np.asarray(dens).reshape(self.nbins)
+
+    def random_sample(
+        self,
+        key,
+        nexpected: float,
+        syst_vals=None,
+        uppers=None,
+        lowers=None,
+        poisson: bool = False,
+        dataset: Optional[int] = None,
+    ) -> np.ndarray:
+        """Draw events from the binned PDF (reference: pdfz.cpp:817-922).
+
+        The reference samples via ROOT ``TH1::GetRandom``: categorical over
+        bins by content, uniform within a bin, with rejection against the
+        optional per-observable bounds.  We implement the same semantics
+        with jax.random, without the <=3-D restriction.
+
+        Returns ``(nobserved, nobservables + 1)`` float32 events with the
+        dataset tag in the last column.
+        """
+        if dataset is None:
+            dataset = self.dataset
+        bins, _ = self.histogram(syst_vals)
+        bins = np.asarray(bins, np.float64).reshape(-1)
+
+        key_n, key_bin, key_pos = jax.random.split(jnp.asarray(key), 3)
+        if poisson:
+            nobs = int(jax.random.poisson(key_n, nexpected))
+        else:
+            nobs = int(np.floor(nexpected + 0.5))  # nint (utils.h)
+        if nobs == 0:
+            return np.zeros((0, self.nobservables + 1), np.float32)
+
+        strides = hist_ops.bin_strides(self.nbins)
+        lower = np.asarray(self.lower, np.float64)
+        upper = np.asarray(self.upper, np.float64)
+        widths = (upper - lower) / np.asarray(self.nbins, np.float64)
+
+        # Restrict to bins inside the rejection bounds up front, which is
+        # equivalent to (but cheaper than) the reference's accept/reject
+        # loop for bound-aligned bins.
+        probs = bins.copy()
+        if uppers is not None and len(np.atleast_1d(uppers)):
+            uppers = np.atleast_1d(np.asarray(uppers, np.float64))
+            lowers = np.atleast_1d(np.asarray(lowers, np.float64))
+            centers_ok = np.ones(probs.shape[0], bool)
+            flat = np.arange(probs.shape[0])
+            for i, (st, nb) in enumerate(zip(strides, self.nbins)):
+                axis_idx = (flat // st) % nb
+                lo_edge = lower[i] + axis_idx * widths[i]
+                hi_edge = lo_edge + widths[i]
+                centers_ok &= (hi_edge > lowers[i]) & (lo_edge < uppers[i])
+            probs = np.where(centers_ok, probs, 0.0)
+        total = probs.sum()
+        if total <= 0:
+            return np.zeros((0, self.nobservables + 1), np.float32)
+        probs = probs / total
+
+        bin_idx = np.asarray(jax.random.choice(
+            key_bin, probs.shape[0], shape=(nobs,), p=jnp.asarray(probs)))
+        u = np.asarray(jax.random.uniform(
+            key_pos, (nobs, self.nobservables), dtype=jnp.float32),
+            np.float64)
+
+        events = np.empty((nobs, self.nobservables + 1), np.float32)
+        for i, (st, nb) in enumerate(zip(strides, self.nbins)):
+            axis_idx = (bin_idx // st) % nb
+            events[:, i] = lower[i] + (axis_idx + u[:, i]) * widths[i]
+        events[:, self.nobservables] = float(dataset)
+        return events
+
+    def get_samples(self) -> np.ndarray:
+        """Observable columns + dataset tag (reference: pdfz.h:542-556)."""
+        obs = np.asarray(self.samples[:, :self.nobservables])
+        tag = np.full((obs.shape[0], 1), float(self.dataset), np.float32)
+        return np.concatenate([obs, tag], axis=1)
+
+
+def eval_from_bins(bins: jnp.ndarray, norm: jnp.ndarray, bin_volume: float,
+                   read_bins: jnp.ndarray) -> jnp.ndarray:
+    """LUT gather with sentinel semantics (reference: pdfz.cpp:411-436)."""
+    safe = jnp.clip(read_bins, 0, bins.shape[-1] - 1)
+    vals = jnp.take(bins, safe, axis=-1) / (norm * bin_volume)
+    vals = jnp.where(read_bins == -2, 0.0, vals)
+    vals = jnp.where(read_bins == -1, jnp.nan, vals)
+    return vals
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nbins", "nobservables", "systematics"))
+def _histogram(samples, params, weights, lower, upper, nbins, nobservables,
+               systematics):
+    transformed = transforms.apply_systematics(samples, params, systematics)
+    obs = transformed[:, :nobservables]
+    ids, valid = hist_ops.compute_bin_ids(obs, lower, upper, nbins)
+    w = valid.astype(jnp.float32)
+    if weights is not None:
+        w = w * weights
+    bins = hist_ops.fixed_bincount(ids, w, hist_ops.total_bins(nbins))
+    return bins, bins.sum()

@@ -1,0 +1,29 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+The reference validates its CPU fallback by compiling the same kernels
+serially (Makefile:29-33); our analog is running the identical JAX code on
+the CPU backend, with 8 virtual devices so sharding tests exercise real
+collectives without TPU hardware.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+# If a TPU PJRT plugin was registered by the interpreter's sitecustomize,
+# drop it: tests must never claim (or block on) real accelerator hardware.
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax._src.xla_bridge as _xb
+
+    for _name in list(getattr(_xb, "_backend_factories", {})):
+        if _name != "cpu":
+            _xb._backend_factories.pop(_name, None)
+except Exception:
+    pass
