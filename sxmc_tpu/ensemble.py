@@ -1,0 +1,139 @@
+"""Ensemble runner: fake experiments -> fits -> limits.
+
+Re-implements reference src/sxmc.cpp:44-148 (``ensemble``): for each
+experiment, generate (or load) a dataset, run the MCMC, extract the best
+fit and the upper limit on the signal of interest, persist the
+likelihood space, and report the median limit.
+
+Beyond the reference: per-experiment results are checkpointed, so a
+killed ensemble resumes where it left off (``resume=True``), and
+experiments can be fanned out over hosts (see sxmc_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from sxmc_tpu.fitconfig import FitConfig
+from sxmc_tpu.generator import make_fake_dataset
+from sxmc_tpu.mcmc.metropolis import MCMC
+from sxmc_tpu.stats.likelihood import LikelihoodSpace
+from sxmc_tpu.utils import median
+
+
+def run_ensemble(
+    fc: FitConfig,
+    output_path: str,
+    resume: bool = False,
+    verbose: bool = True,
+) -> List[float]:
+    """Run the full ensemble; returns the per-experiment upper limits."""
+    os.makedirs(output_path, exist_ok=True)
+
+    def log(msg):
+        if verbose:
+            print(msg)
+
+    # Export nominal PDFs (sxmc.cpp:45-55).
+    if fc.plots and not fc.samples:
+        for sig in fc.signals:
+            dens = sig.histogram.density_histogram(None)
+            np.save(os.path.join(output_path, f"{sig.name}_pdf.npy"), dens)
+
+    key = jax.random.PRNGKey(fc.seed)
+    limits: List[float] = []
+    mcmc: Optional[MCMC] = None
+
+    for i in range(fc.nexperiments):
+        log(f"Experiment {i + 1} / {fc.nexperiments}")
+        lspace_file = os.path.join(
+            output_path, f"{fc.output_prefix}_{i}.hdf5")
+
+        exp_key = jax.random.fold_in(key, i)
+
+        if resume and os.path.exists(lspace_file):
+            log(f"ensemble: Resuming from {lspace_file}")
+            ls = LikelihoodSpace.load(lspace_file, fc.confidence,
+                                      fc.error_type)
+            samples_data = None
+        elif fc.samples:
+            # Recompute intervals from stored MCMC samples
+            # (sxmc.cpp:84-94).
+            log(f"ensemble: Loading samples from {fc.samples}")
+            ls = LikelihoodSpace.load(fc.samples, fc.confidence,
+                                      fc.error_type)
+            samples_data = None
+        else:
+            # Make fake data or load a real dataset (sxmc.cpp:63-79).
+            if not fc.data:
+                log(f"ensemble: Sampling fake dataset {i}")
+                samples_data = make_fake_dataset(
+                    exp_key, fc.signals, fc.systematics, fc.observables,
+                    poisson=True, verbose=verbose)
+            else:
+                chunks = []
+                for dataset, sigs in fc.data.items():
+                    sig = sigs[i] if i < len(sigs) else sigs[0]
+                    log(f"ensemble: Loading dataset {dataset}.{i} "
+                        f"({sig.filename})")
+                    chunks.append(sig.histogram.get_samples())
+                samples_data = np.concatenate(chunks, axis=0)
+
+            if mcmc is None:
+                mcmc = MCMC(fc.sources, fc.signals, fc.systematics,
+                            fc.observables)
+            ls = mcmc(samples_data, fc.nsteps, fc.burnin_fraction,
+                      debug_mode=fc.debug_mode, key=exp_key,
+                      nchains=fc.nchains)
+            ls.cl = fc.confidence
+            ls.error_type = fc.error_type
+            ls.save(lspace_file)
+
+        log(ls.print_best_fit())
+        log(ls.print_correlations())
+
+        if fc.plots and samples_data is not None:
+            try:
+                from sxmc_tpu import plots
+
+                plots.plot_fit(ls.get_best_fit(), fc, samples_data,
+                               output_path, suffix=f"_{i}")
+            except Exception as e:  # plotting must never kill the fit
+                log(f"ensemble: plotting failed: {e}")
+
+        # Collect the upper limit on the signal of interest
+        # (sxmc.cpp:110-127).
+        best_fit = ls.get_best_fit()
+        if fc.signal_name and fc.signal_name in best_fit:
+            bfi = best_fit[fc.signal_name]
+            log(f"ensemble: Signal {fc.signal_name}: {bfi}")
+            if not bfi.one_sided:
+                log("ensemble: Warning: Two-sided limit!")
+            log(f"ensemble: lower = {bfi.lower}, upper = {bfi.upper}, "
+                f"coverage = {bfi.coverage}")
+            limits.append(bfi.upper)
+
+    return limits
+
+
+def main_fit(config_file: str, output_path: str, resume: bool = False,
+             data_root: Optional[str] = None) -> List[float]:
+    """Full driver (reference: sxmc.cpp:181-229)."""
+    print("sxmc_tpu: Loading configuration...")
+    print(f"sxmc_tpu: Configuration: {config_file}")
+    fc = FitConfig.from_json_file(config_file, data_root=data_root)
+    print(fc.print())
+
+    print("sxmc_tpu: Running ensemble...")
+    limits = run_ensemble(fc, output_path, resume=resume)
+
+    if limits:
+        print("sxmc_tpu: Upper limits:", ", ".join(f"{x:g}" for x in limits))
+        print(f"sxmc_tpu: Median upper limit: {median(limits)}")
+    else:
+        print("sxmc_tpu: Median upper limit: -1")
+    return limits

@@ -1,0 +1,252 @@
+"""Adaptive Metropolis MCMC, fully device-resident.
+
+TPU re-design of reference src/mcmc.{h,cpp} + the step kernels in
+src/nll_kernels.cpp:191-271.  The reference keeps the chain on the GPU
+with a ring buffer flushed to a host ntuple every 10k steps
+(mcmc.cpp:350-377); here the whole walk is a ``jax.lax.scan`` inside one
+jit — the chain history is the scan output, and there is no host
+round-trip at all.  ``vmap`` over chains gives vectorized Metropolis
+ensembles; the same function pjit-shards over a device mesh.
+
+Semantics preserved:
+  * parameter vector = source rates then systematic coefficients, with
+    means/sigmas/fixed flattened identically (mcmc.cpp:47-81);
+  * initial jump widths 0.1 * width * (2.4^2 / nfloat) with the same
+    per-parameter width heuristic (mcmc.cpp:197-228, Haario 2001);
+  * proposals are independent Gaussians per parameter; fixed parameters
+    are pinned (jump width -1, nll_kernels.cpp:38-52);
+  * Metropolis accept: np < nc or u <= exp(nc - np); debug mode accepts
+    everything (nll_kernels.cpp:66-77);
+  * PDFs are re-histogrammed every step iff any systematic floats
+    (mcmc.cpp:264-271);
+  * jump widths retuned from the sample RMS at burnin_steps and
+    2*burnin_steps, discarding prior samples unless debug
+    (mcmc.cpp:273-311).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sxmc_tpu.ops.nll import NLLStatic, nll as nll_fn
+from sxmc_tpu.pdf.stack import PdfStack
+from sxmc_tpu.signal import Observable, Signal, Source, Systematic
+from sxmc_tpu.stats.likelihood import LikelihoodSpace
+
+HAARIO = 2.4 * 2.4  # Haario et al. 2001 proposal scaling (mcmc.cpp:199)
+
+
+class MCMC:
+    """MCMC fit driver (reference: mcmc.h:41-77)."""
+
+    def __init__(
+        self,
+        sources: Sequence[Source],
+        signals: Sequence[Signal],
+        systematics: Sequence[Systematic],
+        observables: Sequence[Observable],
+    ):
+        self.nsources = len(sources)
+        self.nsignals = len(signals)
+
+        npars_syst = sum(s.npars for s in systematics)
+        self.nparameters = self.nsources + npars_syst
+
+        means = np.zeros(self.nparameters, np.float32)
+        sigmas = np.zeros(self.nparameters, np.float32)
+        fixed = np.zeros(self.nparameters, bool)
+        names = []
+        for i, src in enumerate(sources):
+            means[i], sigmas[i], fixed[i] = src.mean, src.sigma, src.fixed
+            names.append(src.name)
+        k = self.nsources
+        self.systematics_fixed = True
+        for syst in systematics:
+            if not syst.fixed:
+                self.systematics_fixed = False
+            for j in range(syst.npars):
+                means[k], sigmas[k] = syst.means[j], syst.sigmas[j]
+                fixed[k] = syst.fixed
+                names.append(f"{syst.name}_{j}")
+                k += 1
+        self.parameter_means = means
+        self.parameter_sigma = sigmas
+        self.parameter_fixed = fixed
+        self.parameter_names = names
+        self.nfloat = int((~fixed).sum())
+        self.nsystematics = len(systematics)
+
+        self.stack = PdfStack(signals, observables, systematics)
+        self.static = NLLStatic(
+            nexpected=jnp.asarray([s.nexpected for s in signals],
+                                  jnp.float32),
+            n_mc=jnp.asarray([s.n_mc for s in signals], jnp.float32),
+            source_id=jnp.asarray([s.source.index for s in signals],
+                                  jnp.int32),
+            means=jnp.asarray(means),
+            sigmas=jnp.asarray(sigmas),
+            nsources=self.nsources,
+        )
+
+    # ------------------------------------------------------------------
+
+    def initial_jump_widths(self) -> np.ndarray:
+        """0.1 * width * 2.4^2/nfloat; fixed -> -1 (mcmc.cpp:197-228)."""
+        sf = HAARIO / max(self.nfloat, 1)
+        w = np.empty(self.nparameters, np.float32)
+        for i in range(self.nparameters):
+            if self.parameter_fixed[i]:
+                w[i] = -1.0
+                continue
+            mean = self.parameter_means[i]
+            sigma = self.parameter_sigma[i]
+            if sigma > 0:
+                width = sigma
+            elif i < self.nsources:
+                m = max(mean, 10.0)
+                width = np.sqrt(m) / m
+            else:
+                width = np.sqrt(max(mean, 1.0))
+            w[i] = 0.1 * width * sf
+        return w
+
+    # ------------------------------------------------------------------
+
+    def __call__(
+        self,
+        data: np.ndarray,
+        nsteps: int,
+        burnin_fraction: float = 0.1,
+        debug_mode: bool = False,
+        seed: int = 0,
+        nchains: int = 1,
+        key: Optional[jax.Array] = None,
+    ) -> LikelihoodSpace:
+        """Run the random walk; returns the likelihood space.
+
+        ``data`` is ``(nevents, nobservables + 1)`` with dataset tags.
+        With ``nchains > 1`` independent chains run vmapped and their
+        post-burn-in samples are pooled.
+        """
+        self.stack.set_data(np.asarray(data, np.float32))
+        burnin_steps = int(nsteps * burnin_fraction)
+
+        if key is None:
+            key = jax.random.PRNGKey(seed)
+        chain_keys = jax.random.split(key, nchains)
+
+        samples, nlls, accept_rate = _run_chains(
+            self, chain_keys, nsteps, burnin_steps, debug_mode)
+
+        # Pool chains: (nchains, nkeep, npar) -> (nchains * nkeep, npar).
+        samples = np.asarray(samples).reshape(-1, self.nparameters)
+        nlls = np.asarray(nlls).reshape(-1)
+        self.last_accept_rate = float(np.mean(np.asarray(accept_rate)))
+        return LikelihoodSpace.from_arrays(
+            samples, nlls, self.parameter_names)
+
+    def nll(self, data: np.ndarray, params) -> float:
+        """Standalone NLL evaluation (reference: mcmc.cpp:390-415)."""
+        self.stack.set_data(np.asarray(data, np.float32))
+        params = jnp.asarray(params, jnp.float32)
+        lut, norms = self.stack.evaluate(params[self.nsources:])
+        return float(nll_fn(params, lut, norms, self.static))
+
+
+# ----------------------------------------------------------------------
+# jitted chain runner
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mcmc", "nsteps", "burnin_steps", "debug_mode"))
+def _run_chains(mcmc: MCMC, chain_keys, nsteps: int, burnin_steps: int,
+                debug_mode: bool):
+    """Run all chains (vmapped) with two burn-in retuning phases."""
+    run = functools.partial(_run_single_chain, mcmc, nsteps=nsteps,
+                            burnin_steps=burnin_steps,
+                            debug_mode=debug_mode)
+    return jax.vmap(run)(chain_keys)
+
+
+def _run_single_chain(mcmc: MCMC, key, *, nsteps: int, burnin_steps: int,
+                      debug_mode: bool):
+    st = mcmc.static
+    nsources = mcmc.nsources
+    stack = mcmc.stack
+    fixed = jnp.asarray(mcmc.parameter_fixed)
+    sf = HAARIO / max(mcmc.nfloat, 1)
+
+    syst_float = (mcmc.nsystematics > 0) and not mcmc.systematics_fixed
+    if not syst_float:
+        # Systematics fixed (or absent): build the LUT once at the
+        # nominal systematics (mcmc.cpp:83-86, 264).
+        theta0 = jnp.asarray(mcmc.parameter_means[nsources:], jnp.float32)
+        lut0, norms0 = stack.evaluate(theta0)
+
+    def chain_nll(params):
+        if syst_float:
+            lut, norms = stack.evaluate(params[nsources:])
+        else:
+            lut, norms = lut0, norms0
+        return nll_fn(params, lut, norms, st)
+
+    def step(carry, step_key):
+        params, cur_nll, width = carry
+        k_prop, k_accept = jax.random.split(step_key)
+        noise = jax.random.normal(k_prop, params.shape) * jnp.maximum(
+            width, 0.0)
+        proposed = jnp.where(width > 0, params + noise, params)
+        prop_nll = chain_nll(proposed)
+        u = jax.random.uniform(k_accept, ())
+        accept = debug_mode | (prop_nll < cur_nll) | \
+            (u <= jnp.exp(cur_nll - prop_nll))
+        params = jnp.where(accept, proposed, params)
+        cur_nll = jnp.where(accept, prop_nll, cur_nll)
+        return ((params, cur_nll, width),
+                (params, cur_nll, accept.astype(jnp.float32)))
+
+    def run_phase(carry, phase_key, n):
+        keys = jax.random.split(phase_key, n)
+        return jax.lax.scan(step, carry, keys)
+
+    def retune(width, phase_samples):
+        # Rescale by the per-parameter RMS over the burn-in phase
+        # (mcmc.cpp:279-305); keep the old width where RMS is zero.
+        rms = jnp.std(phase_samples, axis=0)
+        new = jnp.where(rms > 0, sf * rms, width)
+        return jnp.where(fixed, -1.0, new)
+
+    params0 = jnp.asarray(mcmc.parameter_means, jnp.float32)
+    nll0 = chain_nll(params0)
+    width0 = jnp.asarray(mcmc.initial_jump_widths())
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    carry = (params0, nll0, width0)
+
+    outs = []
+    if burnin_steps > 0:
+        carry, (s1, n1, a1) = run_phase(carry, k1, burnin_steps)
+        p, c, w = carry
+        carry = (p, c, retune(w, s1))
+        carry, (s2, n2, a2) = run_phase(carry, k2, burnin_steps)
+        p, c, w = carry
+        carry = (p, c, retune(w, s2))
+        if debug_mode:
+            outs += [(s1, n1, a1), (s2, n2, a2)]
+
+    remaining = nsteps - (2 * burnin_steps if burnin_steps > 0 else 0)
+    remaining = max(remaining, 0)
+    if remaining > 0:
+        carry, (s3, n3, a3) = run_phase(carry, k3, remaining)
+        outs.append((s3, n3, a3))
+
+    samples = jnp.concatenate([o[0] for o in outs], axis=0)
+    nlls = jnp.concatenate([o[1] for o in outs], axis=0)
+    accepts = jnp.concatenate([o[2] for o in outs], axis=0)
+    return samples, nlls, accepts.mean()

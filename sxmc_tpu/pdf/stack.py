@@ -1,0 +1,194 @@
+"""PdfStack: all of a fit's PDFs as one batched, fused evaluation.
+
+The reference evaluates each signal's PDF on its own CUDA stream and
+synchronizes (pdfz.h:17-22, mcmc.cpp:264-271).  On TPU, inter-PDF
+concurrency is replaced by *batching*: every signal's MC samples are
+concatenated into one array with a segment id, systematics are applied
+with per-signal masks, and all histograms are built by a single
+segmented bincount (one MXU matmul pipeline).  The per-step PDF
+re-evaluation — the throughput-dominating operation when systematics
+float (mcmc.cpp:207-209) — is then one jitted function
+
+    (theta_syst,) -> (lut, norms)
+
+with ``lut`` the (nsignals, nevents) PDF-value table the NLL consumes
+(mcmc.cpp:230-242) and ``norms`` the in-domain counts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sxmc_tpu.ops import histogram as hist_ops
+from sxmc_tpu.ops import transforms
+from sxmc_tpu.pdf import evalhist
+from sxmc_tpu.signal import Observable, Signal, Systematic
+
+
+@dataclasses.dataclass(frozen=True)
+class MaskedSystematic:
+    """A systematic + which signals it applies to (static)."""
+
+    desc: transforms.SystematicDesc
+    signal_mask: Tuple[bool, ...]
+
+
+class PdfStack:
+    """Batched evaluator for all PDFs in a fit."""
+
+    def __init__(
+        self,
+        signals: Sequence[Signal],
+        observables: Sequence[Observable],
+        systematics: Sequence[Systematic],
+    ):
+        self.nsignals = len(signals)
+        self.nobservables = len(observables)
+
+        nobs = self.nobservables
+        lower = [0.0] * nobs
+        upper = [1.0] * nobs
+        nbins = [1] * nobs
+        for obs in observables:
+            lower[obs.field_index] = obs.lower
+            upper[obs.field_index] = obs.upper
+            nbins[obs.field_index] = obs.bins
+        self.lower = jnp.asarray(lower, jnp.float32)
+        self.upper = jnp.asarray(upper, jnp.float32)
+        self.nbins = tuple(nbins)
+        self.total_nbins = hist_ops.total_bins(self.nbins)
+        self.bin_volume = hist_ops.bin_volume(lower, upper, self.nbins)
+
+        # Concatenate all signals' MC samples with a segment id.
+        sample_arrays = [np.asarray(s.histogram.samples) for s in signals]
+        self.samples = jnp.asarray(np.concatenate(sample_arrays, axis=0))
+        seg = np.concatenate([
+            np.full(a.shape[0], i, np.int32)
+            for i, a in enumerate(sample_arrays)])
+        self.segment_ids = jnp.asarray(seg)
+        self.n_mc = jnp.asarray([s.n_mc for s in signals], jnp.float32)
+        self.datasets = [s.dataset for s in signals]
+
+        # Global systematics with per-signal application masks: signal j
+        # applies systematic s iff s was attached to its PDF
+        # (signal.cpp:144-165).
+        self.systematics: Tuple[MaskedSystematic, ...] = tuple(
+            MaskedSystematic(
+                desc=transforms.SystematicDesc(
+                    type=s.type,
+                    obs=s.observable_field_index,
+                    par_indices=tuple(s.pidx),
+                    extra_field=max(s.truth_field_index, 0)),
+                signal_mask=tuple(s.name in sig.systematic_names
+                                  for sig in signals))
+            for s in systematics)
+        self.nsyst_params = sum(s.npars for s in systematics)
+
+        self._read_bins = None  # (nsignals, nevents) after set_data
+
+    # ------------------------------------------------------------------
+
+    def set_data(self, data: np.ndarray) -> None:
+        """Precompute per-signal read bins for the dataset.
+
+        ``data`` is ``(nevents, nobservables + 1)`` with the dataset tag
+        last.  Data points never move under systematics, so this runs
+        once per dataset (reference: pdfz.cpp:245-302, mcmc.cpp:231-242).
+        """
+        data = np.asarray(data, np.float32)
+        obs = jnp.asarray(data[:, :self.nobservables])
+        ids, valid = hist_ops.compute_bin_ids(
+            obs, self.lower, self.upper, self.nbins)
+        tags = jnp.asarray(data[:, self.nobservables])
+        rb = []
+        for ds in self.datasets:
+            sig_ids = jnp.where(tags == ds, ids, -2)
+            rb.append(jnp.where(valid, sig_ids, -1))
+        self._read_bins = jnp.stack(rb)
+
+    @property
+    def nevents(self) -> int:
+        if self._read_bins is None:
+            raise RuntimeError("set_data() must be called first")
+        return self._read_bins.shape[1]
+
+    # ------------------------------------------------------------------
+
+    def histograms(self, theta_syst: jnp.ndarray
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(nsignals, total_nbins) counts + (nsignals,) norms at theta."""
+        return _stack_histograms(
+            self.samples, self.segment_ids, theta_syst,
+            self.lower, self.upper, self.nbins, self.nsignals,
+            self.systematics)
+
+    def evaluate(self, theta_syst: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Fused re-histogram + LUT build: theta -> (lut, norms).
+
+        This is the inner loop of the MCMC when systematics float.
+        """
+        if self._read_bins is None:
+            raise RuntimeError("set_data() must be called first")
+        hists, norms = self.histograms(theta_syst)
+        lut = jax.vmap(evalhist.eval_from_bins, in_axes=(0, 0, None, 0))(
+            hists, norms, self.bin_volume, self._read_bins)
+        return lut, norms
+
+    def efficiencies(self, theta_syst) -> jnp.ndarray:
+        """Per-signal norm/n_mc at the given systematics."""
+        _, norms = self.histograms(jnp.asarray(theta_syst, jnp.float32))
+        return norms / self.n_mc
+
+
+def _apply_masked_systematics(samples, segment_ids, theta, systematics,
+                              nsignals):
+    """Apply each systematic only to samples of signals that carry it."""
+    if not systematics:
+        return samples
+    cols = [samples[:, i] for i in range(samples.shape[1])]
+    for ms in systematics:
+        desc = ms.desc
+        x = cols[desc.obs]
+        if all(ms.signal_mask):
+            mask = None
+        else:
+            mask_per_signal = jnp.asarray(ms.signal_mask)
+            mask = mask_per_signal[segment_ids]
+        p = jnp.zeros_like(x)
+        xi = jnp.ones_like(x)
+        for i, pidx in enumerate(desc.par_indices):
+            if i > 0:
+                xi = xi * x
+            p = p + theta[pidx].astype(x.dtype) * xi
+        if desc.type == transforms.SHIFT:
+            new = x + p
+        elif desc.type == transforms.SCALE:
+            new = x * (1.0 + p)
+        elif desc.type == transforms.CTSCALE:
+            new = 1.0 + (x - 1.0) * (1.0 + p)
+        elif desc.type == transforms.RESOLUTION_SCALE:
+            new = x + p * (x - cols[desc.extra_field])
+        else:
+            raise ValueError(f"Unknown systematic type id {desc.type}")
+        cols[desc.obs] = new if mask is None else jnp.where(mask, new, x)
+    return jnp.stack(cols, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nbins", "nsignals", "systematics"))
+def _stack_histograms(samples, segment_ids, theta, lower, upper, nbins,
+                      nsignals, systematics):
+    transformed = _apply_masked_systematics(
+        samples, segment_ids, theta, systematics, nsignals)
+    nobs = len(nbins)
+    return hist_ops.segmented_histogram(
+        transformed[:, :nobs], segment_ids,
+        jnp.ones(samples.shape[0], bool), lower, upper, nbins, nsignals)
