@@ -141,7 +141,8 @@ class MCMC:
         chain_keys = jax.random.split(key, nchains)
 
         samples, nlls, accept_rate = _run_chains(
-            self, chain_keys, nsteps, burnin_steps, debug_mode)
+            self, chain_keys, self.stack._read_bins, nsteps, burnin_steps,
+            debug_mode)
 
         # Pool chains: (nchains, nkeep, npar) -> (nchains * nkeep, npar).
         samples = np.asarray(samples).reshape(-1, self.nparameters)
@@ -165,17 +166,35 @@ class MCMC:
 @functools.partial(
     jax.jit,
     static_argnames=("mcmc", "nsteps", "burnin_steps", "debug_mode"))
-def _run_chains(mcmc: MCMC, chain_keys, nsteps: int, burnin_steps: int,
-                debug_mode: bool):
+def _run_chains(mcmc: MCMC, chain_keys, read_bins, nsteps: int,
+                burnin_steps: int, debug_mode: bool):
     """Run all chains (vmapped) with two burn-in retuning phases."""
     run = functools.partial(_run_single_chain, mcmc, nsteps=nsteps,
                             burnin_steps=burnin_steps,
                             debug_mode=debug_mode)
-    return jax.vmap(run)(chain_keys)
+    return jax.vmap(run, in_axes=(0, None))(chain_keys, read_bins)
 
 
-def _run_single_chain(mcmc: MCMC, key, *, nsteps: int, burnin_steps: int,
-                      debug_mode: bool):
+def run_experiment_batch(mcmc: MCMC, keys, read_bins_batch, nsteps: int,
+                         burnin_steps: int, debug_mode: bool = False):
+    """Vmapped ensemble: one chain per experiment, batched datasets.
+
+    The reference runs experiments in a serial host loop
+    (sxmc.cpp:59-145); here ``nexperiments`` fake experiments run as one
+    batched chain walk.  ``read_bins_batch`` is
+    ``(nexperiments, nsignals, nevents)`` — ragged datasets are padded
+    with an unknown dataset tag, whose -2 sentinel rows contribute
+    nothing to the NLL.  Shard the leading axis over a mesh to fan out
+    across chips (see sxmc_tpu.parallel.ensemble).
+    """
+    run = functools.partial(_run_single_chain, mcmc, nsteps=nsteps,
+                            burnin_steps=burnin_steps,
+                            debug_mode=debug_mode)
+    return jax.vmap(run, in_axes=(0, 0))(keys, read_bins_batch)
+
+
+def _run_single_chain(mcmc: MCMC, key, read_bins, *, nsteps: int,
+                      burnin_steps: int, debug_mode: bool):
     st = mcmc.static
     nsources = mcmc.nsources
     stack = mcmc.stack
@@ -187,11 +206,11 @@ def _run_single_chain(mcmc: MCMC, key, *, nsteps: int, burnin_steps: int,
         # Systematics fixed (or absent): build the LUT once at the
         # nominal systematics (mcmc.cpp:83-86, 264).
         theta0 = jnp.asarray(mcmc.parameter_means[nsources:], jnp.float32)
-        lut0, norms0 = stack.evaluate(theta0)
+        lut0, norms0 = stack.evaluate(theta0, read_bins)
 
     def chain_nll(params):
         if syst_float:
-            lut, norms = stack.evaluate(params[nsources:])
+            lut, norms = stack.evaluate(params[nsources:], read_bins)
         else:
             lut, norms = lut0, norms0
         return nll_fn(params, lut, norms, st)

@@ -100,6 +100,11 @@ class EvalHist:
         self.total_nbins = hist_ops.total_bins(self.nbins)
         self.bin_volume = hist_ops.bin_volume(lower, upper, self.nbins)
         self.systematics: Tuple[transforms.SystematicDesc, ...] = ()
+        # Pallas fused kernel is used on TPU for unweighted histograms;
+        # the pure-jnp path covers CPU and weighted samples.
+        self.use_pallas = (weights is None and
+                           jax.default_backend() == "tpu")
+        self._packed = None
 
     @property
     def n_mc(self) -> int:
@@ -142,7 +147,24 @@ class EvalHist:
             params = jnp.zeros((max((max(d.par_indices) + 1 for d in
                                      self.systematics), default=0),),
                                jnp.float32)
-        return _histogram(self.samples, jnp.asarray(params, jnp.float32),
+        params = jnp.asarray(params, jnp.float32)
+        if params.ndim == 0:
+            params = params[None]
+        if self.use_pallas:
+            from sxmc_tpu.ops import pallas_hist
+
+            if self._packed is None:
+                self._packed = jnp.asarray(pallas_hist.pack_samples(
+                    np.asarray(self.samples), np.asarray(self.lower)))
+            bins = pallas_hist.pallas_histogram(
+                self._packed, params,
+                nfields=self.nfields, nobs=self.nobservables,
+                systematics=tuple((d, None) for d in self.systematics),
+                lower=tuple(float(x) for x in np.asarray(self.lower)),
+                upper=tuple(float(x) for x in np.asarray(self.upper)),
+                nbins=self.nbins)
+            return bins, bins.sum()
+        return _histogram(self.samples, params,
                           self.weights, self.lower, self.upper, self.nbins,
                           self.nobservables, self.systematics)
 

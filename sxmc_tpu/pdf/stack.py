@@ -90,6 +90,20 @@ class PdfStack:
             for s in systematics)
         self.nsyst_params = sum(s.npars for s in systematics)
 
+        self.use_pallas = jax.default_backend() == "tpu"
+        self._packed = None
+        if self.use_pallas:
+            from sxmc_tpu.ops import pallas_hist
+
+            self._packed = jnp.asarray(pallas_hist.pack_samples(
+                np.concatenate(sample_arrays, axis=0),
+                lower, segment_ids=seg))
+            self._pallas_systs = tuple(
+                (ms.desc,
+                 None if all(ms.signal_mask) else
+                 tuple(int(b) for b in ms.signal_mask))
+                for ms in self.systematics)
+
         self._read_bins = None  # (nsignals, nevents) after set_data
 
     # ------------------------------------------------------------------
@@ -101,16 +115,8 @@ class PdfStack:
         last.  Data points never move under systematics, so this runs
         once per dataset (reference: pdfz.cpp:245-302, mcmc.cpp:231-242).
         """
-        data = np.asarray(data, np.float32)
-        obs = jnp.asarray(data[:, :self.nobservables])
-        ids, valid = hist_ops.compute_bin_ids(
-            obs, self.lower, self.upper, self.nbins)
-        tags = jnp.asarray(data[:, self.nobservables])
-        rb = []
-        for ds in self.datasets:
-            sig_ids = jnp.where(tags == ds, ids, -2)
-            rb.append(jnp.where(valid, sig_ids, -1))
-        self._read_bins = jnp.stack(rb)
+        self._read_bins = self.compute_read_bins(
+            np.asarray(data, np.float32))
 
     @property
     def nevents(self) -> int:
@@ -123,22 +129,58 @@ class PdfStack:
     def histograms(self, theta_syst: jnp.ndarray
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(nsignals, total_nbins) counts + (nsignals,) norms at theta."""
+        theta_syst = jnp.asarray(theta_syst, jnp.float32)
+        if self.use_pallas:
+            from sxmc_tpu.ops import pallas_hist
+
+            flat = pallas_hist.pallas_histogram(
+                self._packed, theta_syst,
+                nfields=self.samples.shape[1], nobs=self.nobservables,
+                systematics=self._pallas_systs,
+                lower=tuple(float(x) for x in np.asarray(self.lower)),
+                upper=tuple(float(x) for x in np.asarray(self.upper)),
+                nbins=self.nbins, nsegments=self.nsignals)
+            hists = flat.reshape(self.nsignals, self.total_nbins)
+            return hists, hists.sum(axis=1)
         return _stack_histograms(
             self.samples, self.segment_ids, theta_syst,
             self.lower, self.upper, self.nbins, self.nsignals,
             self.systematics)
 
-    def evaluate(self, theta_syst: jnp.ndarray
+    def compute_read_bins(self, data: np.ndarray) -> jnp.ndarray:
+        """Per-signal read bins for a dataset, as an explicit array.
+
+        Events with an unknown dataset tag get the -2 sentinel and
+        contribute zero density — padding rows (tag e.g. -1) are thus
+        free, which is how ragged experiment batches are vmapped.
+        """
+        data = jnp.asarray(data)
+        obs = data[..., :self.nobservables]
+        ids, valid = hist_ops.compute_bin_ids(
+            obs.reshape(-1, self.nobservables), self.lower, self.upper,
+            self.nbins)
+        ids = ids.reshape(obs.shape[:-1])
+        valid = valid.reshape(obs.shape[:-1])
+        tags = data[..., self.nobservables]
+        rb = []
+        for ds in self.datasets:
+            sig_ids = jnp.where(tags == ds, ids, -2)
+            rb.append(jnp.where(valid, sig_ids, -1))
+        return jnp.stack(rb, axis=-2)  # (..., nsignals, nevents)
+
+    def evaluate(self, theta_syst: jnp.ndarray, read_bins=None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Fused re-histogram + LUT build: theta -> (lut, norms).
 
         This is the inner loop of the MCMC when systematics float.
         """
-        if self._read_bins is None:
-            raise RuntimeError("set_data() must be called first")
+        if read_bins is None:
+            if self._read_bins is None:
+                raise RuntimeError("set_data() must be called first")
+            read_bins = self._read_bins
         hists, norms = self.histograms(theta_syst)
         lut = jax.vmap(evalhist.eval_from_bins, in_axes=(0, 0, None, 0))(
-            hists, norms, self.bin_volume, self._read_bins)
+            hists, norms, self.bin_volume, read_bins)
         return lut, norms
 
     def efficiencies(self, theta_syst) -> jnp.ndarray:

@@ -16,14 +16,6 @@ if "host_platform_device_count" not in flags:
 
 # If a TPU PJRT plugin was registered by the interpreter's sitecustomize,
 # drop it: tests must never claim (or block on) real accelerator hardware.
-try:
-    import jax
+import jax
 
-    jax.config.update("jax_platforms", "cpu")
-    import jax._src.xla_bridge as _xb
-
-    for _name in list(getattr(_xb, "_backend_factories", {})):
-        if _name != "cpu":
-            _xb._backend_factories.pop(_name, None)
-except Exception:
-    pass
+jax.config.update("jax_platforms", "cpu")
