@@ -3,17 +3,23 @@
 Mirrors the reference benchmark ``bench_sxmc pdfz``
 (reference: bench/bench_sxmc.cpp:34-102): 10M Gaussian samples, 100k
 evaluation points, 1000 bins, one shift systematic; repeated full PDF
-evaluations (re-histogram + evaluate at the data points) with a
-synchronize per repetition, exactly like the reference's
-EvalAsync+EvalFinished loop.  Metric = samples histogrammed per second.
-Baseline: 2.99546e9 samples/s on an NVIDIA Tesla K40, the best published
-reference number (README.md:322).
+evaluations (re-histogram + evaluate at the data points).  Metric =
+samples histogrammed per second.  Baseline: 2.99546e9 samples/s on an
+NVIDIA Tesla K40, the best published reference number (README.md:322).
 
-The device arrays are passed as jit arguments (never closure constants:
-captured constants are re-uploaded per call on tunneled backends).
+Timing methodology (measured pitfalls of tunneled TPU backends):
+  * ``block_until_ready`` does not wait for real device completion here
+    (async queue ack), and the first host value readback permanently
+    downgrades dispatch to ~27ms sync RTT.  So the repetition loop runs
+    INSIDE one jit (``lax.fori_loop``), timing ends with a value
+    readback that forces true completion, and the rate is taken from
+    the SLOPE between two repetition counts — cancelling both compile
+    and RTT constants.
+  * Device arrays are always jit arguments, never closure constants.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Extra metrics (--suite): BENCH_extra.json + stderr lines.
 """
 
 import json
@@ -27,7 +33,24 @@ BASELINE_K40 = 2.99546e9  # samples/s, reference README.md:322
 NSAMPLES = 10_000_000
 NEVAL = 100_000
 NBINS = 1000
-NREPS = 100
+REPS_LO = 50
+REPS_HI = 500
+
+
+def _timed_value(fn, *args):
+    """Run fn and force completion via a scalar readback; return secs."""
+    t0 = time.perf_counter()
+    v = fn(*args)
+    float(np.asarray(v).ravel()[0])
+    return time.perf_counter() - t0
+
+
+def _slope(fn_lo, fn_hi, n_lo, n_hi, args):
+    """Per-rep seconds from the two-point slope (2 trials each)."""
+    # First calls may hide lazy remote compilation; take the min.
+    t_lo = min(_timed_value(fn_lo, *args) for _ in range(2))
+    t_hi = min(_timed_value(fn_hi, *args) for _ in range(2))
+    return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
 
 
 def main() -> None:
@@ -35,7 +58,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from sxmc_tpu.ops.transforms import SHIFT, SystematicDesc
-    from sxmc_tpu.pdf.evalhist import EvalHist, eval_from_bins
+    from sxmc_tpu.pdf.evalhist import EvalHist
 
     rng = np.random.default_rng(20230817)
     # Gaussian at 0.5, sigma 0.15 on [0, 1) — bench_sxmc.cpp:54-57.
@@ -53,62 +76,206 @@ def main() -> None:
         from sxmc_tpu.ops import pallas_hist
 
         packed = jnp.asarray(pallas_hist.pack_samples(samples, [0.0]))
+        dd = (packed,)
 
-        @jax.jit
-        def full_eval(packed, read_bins, params):
+        def _eval(theta, read_bins, device_data):
+            (packed,) = device_data
             bins = pallas_hist.pallas_histogram(
-                packed, params, nfields=1, nobs=1,
+                packed, theta, nfields=1, nobs=1,
                 systematics=((syst, None),),
                 lower=(0.0,), upper=(1.0,), nbins=(NBINS,))
             norm = bins.sum()
-            return eval_from_bins(bins, norm, ev.bin_volume, read_bins), norm
+            nev = read_bins.shape[0]
+            npad = -(-nev // 16384) * 16384
+            rb = jnp.pad(read_bins, (0, npad - nev), constant_values=-2
+                         ).reshape(1, npad // 128, 128)
+            vals = pallas_hist.pallas_eval_lut(
+                bins, norm[None], rb, total_nbins=NBINS, nsegments=1,
+                bin_volume=ev.bin_volume)[0]
+            return vals, norm
     else:
         from sxmc_tpu.ops import histogram as hist_ops
         from sxmc_tpu.ops import transforms
+        from sxmc_tpu.pdf.evalhist import eval_from_bins
 
-        packed = jnp.asarray(samples)
+        dd = (jnp.asarray(samples),)
 
-        @jax.jit
-        def full_eval(packed, read_bins, params):
-            t = transforms.apply_systematics(packed, params, (syst,))
+        def _eval(theta, read_bins, device_data):
+            (s,) = device_data
+            t = transforms.apply_systematics(s, theta, (syst,))
             ids, valid = hist_ops.compute_bin_ids(
                 t[:, :1], ev.lower, ev.upper, (NBINS,))
             bins = hist_ops.fixed_bincount(
                 ids, valid.astype(jnp.float32), NBINS)
             norm = bins.sum()
-            return eval_from_bins(bins, norm, ev.bin_volume, read_bins), norm
+            return eval_from_bins(bins, norm, ev.bin_volume,
+                                  read_bins), norm
 
-    thetas = [jnp.zeros((1,), jnp.float32).at[0].set(1e-6 * i)
-              for i in range(NREPS)]
+    def make_reps(nreps):
+        @jax.jit
+        def f(read_bins, *device_data):
+            def body(i, acc):
+                theta = jnp.full((1,), 1e-6 * i, jnp.float32)
+                values, norm = _eval(theta, read_bins, device_data)
+                return acc + values[0] + norm
+            return jax.lax.fori_loop(0, nreps, body, jnp.float32(0))
+        return f
 
-    # Warm up / compile.  NOTE: no host readback of values before the
-    # timed loop — on tunneled backends the first device-to-host value
-    # transfer permanently downgrades the client to a synchronous
-    # ~27 ms-per-dispatch mode.  Correctness is asserted after timing.
-    values, norm = full_eval(packed, read_bins, thetas[0])
-    values.block_until_ready()
+    f_lo, f_hi = make_reps(REPS_LO), make_reps(REPS_HI)
+    per_rep = _slope(f_lo, f_hi, REPS_LO, REPS_HI, (read_bins, *dd))
 
-    # Timed region (bench_sxmc.cpp:77-101): one synchronize per rep, a
-    # distinct systematic value per rep so no work can be elided.
-    t0 = time.perf_counter()
-    for th in thetas:
-        out = full_eval(packed, read_bins, th)
-        out[0].block_until_ready()
-    elapsed = time.perf_counter() - t0
-
+    # Correctness spot check (readback — after all timing).
+    theta0 = jnp.zeros((1,), jnp.float32)
+    _, norm = _eval(theta0, read_bins, dd)
     assert float(norm) > 0.99 * NSAMPLES
 
-    rate = NSAMPLES * NREPS / elapsed
+    rate = NSAMPLES / per_rep
     print(json.dumps({
         "metric": "pdfz_samples_histogrammed_per_sec",
         "value": rate,
         "unit": "samples/s",
         "vs_baseline": rate / BASELINE_K40,
     }))
-    print(f"# elapsed {elapsed:.3f}s for {NREPS} reps of {NSAMPLES} "
-          f"samples on {jax.devices()[0].device_kind} "
+    print(f"# {per_rep*1e3:.3f} ms/rep on {jax.devices()[0].device_kind} "
           f"(pallas={ev.use_pallas})", file=sys.stderr)
 
 
+def bench_group():
+    """29-signal group scenario (reference: bench_sxmc.cpp:105-225).
+
+    Ragged per-signal sample counts (1e3..3e6, ~4.9M total) histogrammed
+    as one fused segmented build — the reference used one CUDA stream
+    per PDF; here concurrency is batching.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sxmc_tpu.ops import pallas_hist
+    from sxmc_tpu.ops.transforms import SHIFT, SystematicDesc
+
+    rng = np.random.default_rng(29)
+    nsignals = 29
+    raw = np.exp(rng.uniform(np.log(1e3), np.log(3e6), nsignals))
+    counts = np.maximum((raw * (4.9e6 / raw.sum())).astype(int), 100)
+    total = int(counts.sum())
+
+    samples = rng.normal(0.5, 0.2, (total, 1)).astype(np.float32)
+    seg = np.repeat(np.arange(nsignals, dtype=np.float32), counts)
+    packed = jnp.asarray(pallas_hist.pack_samples(
+        samples, [0.0], segment_ids=seg))
+    syst = SystematicDesc(SHIFT, obs=0, par_indices=(0,))
+
+    def make_reps(nreps):
+        @jax.jit
+        def f(packed):
+            def body(i, acc):
+                theta = jnp.full((1,), 1e-6 * i, jnp.float32)
+                bins = pallas_hist.pallas_histogram(
+                    packed, theta, nfields=1, nobs=1,
+                    systematics=((syst, None),), lower=(0.0,),
+                    upper=(1.0,), nbins=(1000,), nsegments=nsignals)
+                return acc + bins[0] + bins.sum()
+            return jax.lax.fori_loop(0, nreps, body, jnp.float32(0))
+        return f
+
+    per_rep = _slope(make_reps(20), make_reps(200), 20, 200, (packed,))
+    return {"metric": "pdfz_group_samples_per_sec",
+            "value": total / per_rep, "unit": "samples/s",
+            "detail": f"{nsignals} signals, {total} samples, "
+                      f"{per_rep*1e3:.3f} ms/rebuild"}
+
+
+def bench_mcmc():
+    """MCMC steps/s with floating systematics (full PDF rebuild per
+    step) and NLL evaluations/s on a fixed LUT."""
+    import jax
+    import jax.numpy as jnp
+
+    from sxmc_tpu.mcmc import metropolis
+    from sxmc_tpu.ops.nll import nll as nll_fn
+    from sxmc_tpu.signal import Observable, Signal, Source, Systematic
+    from sxmc_tpu.mcmc.metropolis import MCMC
+
+    rng = np.random.default_rng(5)
+    obs = Observable(name="energy", field="energy", bins=100, lower=5.0,
+                     upper=15.0, field_index=0)
+    syst = Systematic(name="shift", type=0, observable_field="energy",
+                      means=[0.0], sigmas=[0.05],
+                      observable_field_index=0, pidx=[0])
+    sample_fields = ["energy", "DATASET"]
+    n_mc = 1_000_000
+    sig_mc = rng.normal(10, 1, (n_mc, 1)).astype(np.float32)
+    bkg_mc = rng.uniform(5, 15, (n_mc, 1)).astype(np.float32)
+    src_s = Source(name="sig", index=0, mean=1.0)
+    src_b = Source(name="bkg", index=1, mean=1.0, sigma=0.1)
+    sig = Signal.from_table("sig", "s", sig_mc, ["energy"], 0, src_s,
+                            1000.0, sample_fields, [obs], [], [syst])
+    bkg = Signal.from_table("bkg", "b", bkg_mc, ["energy"], 0, src_b,
+                            2000.0, sample_fields, [obs], [], [])
+    mcmc = MCMC([src_s, src_b], [sig, bkg], [syst], [obs])
+
+    nevents = 3000
+    data = np.stack([rng.uniform(5, 15, nevents).astype(np.float32),
+                     np.zeros(nevents, np.float32)], axis=1)
+    mcmc.stack.set_data(data)
+    rb = mcmc.stack._read_bins
+    dd = mcmc.stack.device_data
+
+    p0, nll0, w0 = metropolis.initial_state(mcmc, rb, dd)
+
+    def seg_fn(nsteps):
+        def f(p0, nll0, w0, rb, *dd):
+            out = metropolis.run_segment(mcmc, p0, nll0, w0, rb, dd,
+                                         jax.random.PRNGKey(1), nsteps)
+            return out[1]  # final NLL (scalar readback)
+        return f
+
+    n1, n2 = 1000, 5000
+    per_step = _slope(seg_fn(n1), seg_fn(n2), n1, n2,
+                      (p0, nll0, w0, rb, *dd))
+
+    # NLL-only evals/s (fixed LUT), fori inside one jit.
+    theta0 = jnp.zeros(1, jnp.float32)
+    lut, norms = mcmc.stack.evaluate(theta0, rb)
+    nbatch = 1024
+
+    def nll_reps(nreps):
+        @jax.jit
+        def f(lut, norms):
+            def body(i, acc):
+                pars = jnp.ones((nbatch, mcmc.nparameters), jnp.float32)
+                pars = pars * (1.0 + 1e-6 * i)
+                vals = jax.vmap(
+                    lambda p: nll_fn(p, lut, norms, mcmc.static))(pars)
+                return acc + vals[0]
+            return jax.lax.fori_loop(0, nreps, body, jnp.float32(0))
+        return f
+
+    per_batch = _slope(nll_reps(10), nll_reps(100), 10, 100, (lut, norms))
+
+    return [
+        {"metric": "mcmc_steps_per_sec_floating_syst",
+         "value": 1.0 / per_step, "unit": "steps/s",
+         "detail": f"2 signals x {n_mc} MC samples rebuilt per step, "
+                   f"{nevents} events, {per_step*1e3:.3f} ms/step"},
+        {"metric": "nll_evals_per_sec", "value": nbatch / per_batch,
+         "unit": "evals/s",
+         "detail": f"fixed LUT, {nevents} events x 2 signals, "
+                   f"batch {nbatch}"},
+    ]
+
+
+def suite():
+    """Full benchmark suite; extra metrics -> BENCH_extra.json."""
+    extras = [bench_group()] + bench_mcmc()
+    with open("BENCH_extra.json", "w") as f:
+        json.dump(extras, f, indent=2)
+    for m in extras:
+        print(f"# {m['metric']}: {m['value']:.4g} {m['unit']} "
+              f"({m.get('detail', '')})", file=sys.stderr)
+
+
 if __name__ == "__main__":
+    if "--suite" in sys.argv:
+        suite()
     main()

@@ -1,0 +1,125 @@
+"""Chain-level checkpoint / resume.
+
+The reference can only resume at the granularity of a finished
+experiment (the ``fit.samples`` file, sxmc.cpp:84-94); mid-chain state
+is lost on preemption — unacceptable on preemptible TPU pods.  Here the
+Metropolis walk runs in fixed-size segments with the full chain state
+(parameters, NLL, jump widths, RNG key, phase, kept samples) persisted
+after each segment, so a killed fit resumes exactly where it stopped.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sxmc_tpu.mcmc import metropolis
+from sxmc_tpu.mcmc.metropolis import MCMC
+from sxmc_tpu.stats.likelihood import LikelihoodSpace
+
+
+def save_chain_state(path: str, state: dict) -> None:
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **state)
+    os.replace(tmp, path)
+
+
+def load_chain_state(path: str) -> Optional[dict]:
+    if not os.path.exists(path):
+        return None
+    with np.load(path, allow_pickle=False) as f:
+        return {k: f[k] for k in f.keys()}
+
+
+def run_checkpointed(
+    mcmc: MCMC,
+    data: np.ndarray,
+    nsteps: int,
+    burnin_fraction: float = 0.1,
+    segment_steps: int = 5000,
+    checkpoint_path: str = "chain.ckpt.npz",
+    debug_mode: bool = False,
+    seed: int = 0,
+    verbose: bool = False,
+) -> LikelihoodSpace:
+    """Run a single chain with periodic state checkpoints.
+
+    Semantics match MCMC.__call__: two burn-in phases of
+    ``nsteps * burnin_fraction`` steps with jump-width retuning, then
+    the main phase; only main-phase samples are kept (unless debug).
+    """
+    mcmc.stack.set_data(np.asarray(data, np.float32))
+    rb = mcmc.stack._read_bins
+    dd = mcmc.stack.device_data
+    burnin_steps = int(nsteps * burnin_fraction)
+
+    state = load_chain_state(checkpoint_path)
+    if state is None:
+        params, nll, width = (np.asarray(x) for x in
+                              metropolis.initial_state(mcmc, rb, dd))
+        state = {
+            "params": params, "nll": np.float32(nll), "width": width,
+            "key": np.asarray(jax.random.PRNGKey(seed)),
+            "step": np.int64(0),
+            "kept": np.zeros((0, mcmc.nparameters), np.float32),
+            "kept_nll": np.zeros((0,), np.float32),
+            "phase_samples": np.zeros((0, mcmc.nparameters), np.float32),
+        }
+    total = int(state["step"])
+
+    phase_bounds = [burnin_steps, 2 * burnin_steps, nsteps] \
+        if burnin_steps > 0 else [nsteps]
+
+    while total < nsteps:
+        # Which phase are we in, and how far may this segment run?
+        bound = next(b for b in phase_bounds if total < b)
+        n = min(segment_steps, bound - total)
+
+        key = jnp.asarray(state["key"], jnp.uint32)
+        key, seg_key = jax.random.split(key)
+        params, nll, samples, nlls, acc = metropolis.run_segment(
+            mcmc, jnp.asarray(state["params"]),
+            jnp.asarray(state["nll"]), jnp.asarray(state["width"]),
+            rb, dd, seg_key, n, debug_mode)
+
+        samples = np.asarray(samples)
+        nlls = np.asarray(nlls)
+        in_burnin = bound != nsteps
+        if in_burnin:
+            state["phase_samples"] = np.concatenate(
+                [state["phase_samples"], samples])
+            if debug_mode:
+                state["kept"] = np.concatenate([state["kept"], samples])
+                state["kept_nll"] = np.concatenate(
+                    [state["kept_nll"], nlls])
+        else:
+            state["kept"] = np.concatenate([state["kept"], samples])
+            state["kept_nll"] = np.concatenate([state["kept_nll"], nlls])
+
+        total += n
+        width = np.asarray(state["width"])
+        if in_burnin and total == bound:
+            # Phase end: retune widths from the phase RMS and reset
+            # (mcmc.cpp:273-311).
+            width = np.asarray(metropolis.retune_width(
+                mcmc, jnp.asarray(width),
+                jnp.asarray(state["phase_samples"])))
+            state["phase_samples"] = np.zeros(
+                (0, mcmc.nparameters), np.float32)
+
+        state.update({
+            "params": np.asarray(params), "nll": np.float32(nll),
+            "width": width, "key": np.asarray(key),
+            "step": np.int64(total),
+        })
+        save_chain_state(checkpoint_path, state)
+        if verbose:
+            print(f"checkpoint: step {total}/{nsteps} "
+                  f"(accept {float(acc):.2f}) -> {checkpoint_path}")
+
+    return LikelihoodSpace.from_arrays(
+        state["kept"], state["kept_nll"], mcmc.parameter_names)

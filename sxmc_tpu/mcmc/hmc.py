@@ -62,7 +62,8 @@ class HMC(MCMC):
         chain_keys = jax.random.split(key, nchains)
 
         samples, nlls, accept = _run_hmc_chains(
-            self, chain_keys, self.stack._read_bins, warmup, keep,
+            self, chain_keys, self.stack._read_bins,
+            self.stack.device_data, warmup, keep,
             self.num_leapfrog, self.target_accept)
 
         samples = np.asarray(samples).reshape(-1, self.nparameters)
@@ -76,15 +77,18 @@ class HMC(MCMC):
     jax.jit,
     static_argnames=("hmc", "warmup", "keep", "num_leapfrog",
                      "target_accept"))
-def _run_hmc_chains(hmc: HMC, chain_keys, read_bins, warmup: int,
-                    keep: int, num_leapfrog: int, target_accept: float):
+def _run_hmc_chains(hmc: HMC, chain_keys, read_bins, device_data,
+                    warmup: int, keep: int, num_leapfrog: int,
+                    target_accept: float):
     run = functools.partial(
         _run_hmc_single, hmc, warmup=warmup, keep=keep,
         num_leapfrog=num_leapfrog, target_accept=target_accept)
-    return jax.vmap(run, in_axes=(0, None))(chain_keys, read_bins)
+    return jax.vmap(run, in_axes=(0, None, None))(
+        chain_keys, read_bins, device_data)
 
 
-def _run_hmc_single(hmc: HMC, key, read_bins, *, warmup: int, keep: int,
+def _run_hmc_single(hmc: HMC, key, read_bins, device_data, *,
+                    warmup: int, keep: int,
                     num_leapfrog: int, target_accept: float):
     nsources = hmc.nsources
     st = hmc.static
@@ -97,11 +101,12 @@ def _run_hmc_single(hmc: HMC, key, read_bins, *, warmup: int, keep: int,
     syst_float = (hmc.nsystematics > 0) and not hmc.systematics_fixed
     if not syst_float:
         theta0 = jnp.asarray(hmc.parameter_means[nsources:], jnp.float32)
-        lut0, norms0 = stack.evaluate(theta0, read_bins)
+        lut0, norms0 = stack.evaluate(theta0, read_bins, device_data)
 
     def params_nll(params):
         if syst_float:
-            lut, norms = stack.evaluate(params[nsources:], read_bins)
+            lut, norms = stack.evaluate(params[nsources:], read_bins,
+                                        device_data)
         else:
             lut, norms = lut0, norms0
         return nll_fn(params, lut, norms, st)

@@ -82,14 +82,18 @@ class MCMC:
         self.nsystematics = len(systematics)
 
         self.stack = PdfStack(signals, observables, systematics)
+        # NLLStatic holds HOST (numpy) arrays on purpose: they embed as
+        # true XLA constants when closed over in jit.  Capturing device
+        # arrays as closure constants degrades dispatch latency ~300x
+        # on tunneled backends.
         self.static = NLLStatic(
-            nexpected=jnp.asarray([s.nexpected for s in signals],
-                                  jnp.float32),
-            n_mc=jnp.asarray([s.n_mc for s in signals], jnp.float32),
-            source_id=jnp.asarray([s.source.index for s in signals],
-                                  jnp.int32),
-            means=jnp.asarray(means),
-            sigmas=jnp.asarray(sigmas),
+            nexpected=np.asarray([s.nexpected for s in signals],
+                                 np.float32),
+            n_mc=np.asarray([s.n_mc for s in signals], np.float32),
+            source_id=np.asarray([s.source.index for s in signals],
+                                 np.int32),
+            means=np.asarray(means),
+            sigmas=np.asarray(sigmas),
             nsources=self.nsources,
         )
 
@@ -141,8 +145,8 @@ class MCMC:
         chain_keys = jax.random.split(key, nchains)
 
         samples, nlls, accept_rate = _run_chains(
-            self, chain_keys, self.stack._read_bins, nsteps, burnin_steps,
-            debug_mode)
+            self, chain_keys, self.stack._read_bins,
+            self.stack.device_data, nsteps, burnin_steps, debug_mode)
 
         # Pool chains: (nchains, nkeep, npar) -> (nchains * nkeep, npar).
         samples = np.asarray(samples).reshape(-1, self.nparameters)
@@ -158,62 +162,73 @@ class MCMC:
         lut, norms = self.stack.evaluate(params[self.nsources:])
         return float(nll_fn(params, lut, norms, self.static))
 
+    @property
+    def device_data(self):
+        return self.stack.device_data
+
 
 # ----------------------------------------------------------------------
 # jitted chain runner
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("mcmc", "nsteps", "burnin_steps", "debug_mode"))
-def _run_chains(mcmc: MCMC, chain_keys, read_bins, nsteps: int,
-                burnin_steps: int, debug_mode: bool):
-    """Run all chains (vmapped) with two burn-in retuning phases."""
-    run = functools.partial(_run_single_chain, mcmc, nsteps=nsteps,
-                            burnin_steps=burnin_steps,
-                            debug_mode=debug_mode)
-    return jax.vmap(run, in_axes=(0, None))(chain_keys, read_bins)
+    jax.jit, static_argnames=("mcmc", "nsteps", "debug_mode"))
+def run_segment(mcmc: MCMC, params, cur_nll, width, read_bins,
+                device_data, key, nsteps: int, debug_mode: bool = False):
+    """Run one fixed-width chain segment; returns carry + history.
 
-
-def run_experiment_batch(mcmc: MCMC, keys, read_bins_batch, nsteps: int,
-                         burnin_steps: int, debug_mode: bool = False):
-    """Vmapped ensemble: one chain per experiment, batched datasets.
-
-    The reference runs experiments in a serial host loop
-    (sxmc.cpp:59-145); here ``nexperiments`` fake experiments run as one
-    batched chain walk.  ``read_bins_batch`` is
-    ``(nexperiments, nsignals, nevents)`` — ragged datasets are padded
-    with an unknown dataset tag, whose -2 sentinel rows contribute
-    nothing to the NLL.  Shard the leading axis over a mesh to fan out
-    across chips (see sxmc_tpu.parallel.ensemble).
+    Building block for mid-chain checkpointing (sxmc_tpu.checkpoint):
+    the chain state (params, nll, width, key) is explicit, so a killed
+    run resumes exactly where the last segment ended — a capability the
+    reference lacks entirely (SURVEY.md section 5, checkpoint/resume).
     """
-    run = functools.partial(_run_single_chain, mcmc, nsteps=nsteps,
-                            burnin_steps=burnin_steps,
-                            debug_mode=debug_mode)
-    return jax.vmap(run, in_axes=(0, 0))(keys, read_bins_batch)
+    step = _make_step(mcmc, read_bins, device_data, debug_mode)
+    keys = jax.random.split(key, nsteps)
+    (params, cur_nll, width), (samples, nlls, accepts) = jax.lax.scan(
+        step, (params, cur_nll, width), keys)
+    return params, cur_nll, samples, nlls, accepts.mean()
 
 
-def _run_single_chain(mcmc: MCMC, key, read_bins, *, nsteps: int,
-                      burnin_steps: int, debug_mode: bool):
+@functools.partial(jax.jit, static_argnames=("mcmc",))
+def initial_state(mcmc: MCMC, read_bins, device_data):
+    """Initial (params, nll, width) for a chain."""
+    params0 = jnp.asarray(mcmc.parameter_means, jnp.float32)
+    nll0 = _chain_nll(mcmc, read_bins, device_data)(params0)
+    width0 = jnp.asarray(mcmc.initial_jump_widths())
+    return params0, nll0, width0
+
+
+def retune_width(mcmc: MCMC, width, phase_samples):
+    """Jump-width rescale from a burn-in phase (mcmc.cpp:279-305)."""
+    sf = HAARIO / max(mcmc.nfloat, 1)
+    fixed = jnp.asarray(mcmc.parameter_fixed)
+    rms = jnp.std(phase_samples, axis=0)
+    new = jnp.where(rms > 0, sf * rms, width)
+    return jnp.where(fixed, -1.0, new)
+
+
+def _chain_nll(mcmc: MCMC, read_bins, device_data):
     st = mcmc.static
     nsources = mcmc.nsources
     stack = mcmc.stack
-    fixed = jnp.asarray(mcmc.parameter_fixed)
-    sf = HAARIO / max(mcmc.nfloat, 1)
-
     syst_float = (mcmc.nsystematics > 0) and not mcmc.systematics_fixed
     if not syst_float:
-        # Systematics fixed (or absent): build the LUT once at the
-        # nominal systematics (mcmc.cpp:83-86, 264).
         theta0 = jnp.asarray(mcmc.parameter_means[nsources:], jnp.float32)
-        lut0, norms0 = stack.evaluate(theta0, read_bins)
+        lut0, norms0 = stack.evaluate(theta0, read_bins, device_data)
 
     def chain_nll(params):
         if syst_float:
-            lut, norms = stack.evaluate(params[nsources:], read_bins)
+            lut, norms = stack.evaluate(params[nsources:], read_bins,
+                                        device_data)
         else:
             lut, norms = lut0, norms0
         return nll_fn(params, lut, norms, st)
+
+    return chain_nll
+
+
+def _make_step(mcmc: MCMC, read_bins, device_data, debug_mode: bool):
+    chain_nll = _chain_nll(mcmc, read_bins, device_data)
 
     def step(carry, step_key):
         params, cur_nll, width = carry
@@ -230,20 +245,54 @@ def _run_single_chain(mcmc: MCMC, key, read_bins, *, nsteps: int,
         return ((params, cur_nll, width),
                 (params, cur_nll, accept.astype(jnp.float32)))
 
+    return step
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mcmc", "nsteps", "burnin_steps", "debug_mode"))
+def _run_chains(mcmc: MCMC, chain_keys, read_bins, device_data,
+                nsteps: int, burnin_steps: int, debug_mode: bool):
+    """Run all chains (vmapped) with two burn-in retuning phases."""
+    run = functools.partial(_run_single_chain, mcmc, nsteps=nsteps,
+                            burnin_steps=burnin_steps,
+                            debug_mode=debug_mode)
+    return jax.vmap(run, in_axes=(0, None, None))(
+        chain_keys, read_bins, device_data)
+
+
+def run_experiment_batch(mcmc: MCMC, keys, read_bins_batch,
+                         device_data, nsteps: int,
+                         burnin_steps: int, debug_mode: bool = False):
+    """Vmapped ensemble: one chain per experiment, batched datasets.
+
+    The reference runs experiments in a serial host loop
+    (sxmc.cpp:59-145); here ``nexperiments`` fake experiments run as one
+    batched chain walk.  ``read_bins_batch`` is
+    ``(nexperiments, nsignals, nevents)`` — ragged datasets are padded
+    with an unknown dataset tag, whose -2 sentinel rows contribute
+    nothing to the NLL.  Shard the leading axis over a mesh to fan out
+    across chips (see sxmc_tpu.parallel.ensemble).
+    """
+    run = functools.partial(_run_single_chain, mcmc, nsteps=nsteps,
+                            burnin_steps=burnin_steps,
+                            debug_mode=debug_mode)
+    return jax.vmap(run, in_axes=(0, 0, None))(
+        keys, read_bins_batch, device_data)
+
+
+def _run_single_chain(mcmc: MCMC, key, read_bins, device_data, *,
+                      nsteps: int, burnin_steps: int, debug_mode: bool):
+    step = _make_step(mcmc, read_bins, device_data, debug_mode)
+
     def run_phase(carry, phase_key, n):
         keys = jax.random.split(phase_key, n)
         return jax.lax.scan(step, carry, keys)
 
     def retune(width, phase_samples):
-        # Rescale by the per-parameter RMS over the burn-in phase
-        # (mcmc.cpp:279-305); keep the old width where RMS is zero.
-        rms = jnp.std(phase_samples, axis=0)
-        new = jnp.where(rms > 0, sf * rms, width)
-        return jnp.where(fixed, -1.0, new)
+        return retune_width(mcmc, width, phase_samples)
 
-    params0 = jnp.asarray(mcmc.parameter_means, jnp.float32)
-    nll0 = chain_nll(params0)
-    width0 = jnp.asarray(mcmc.initial_jump_widths())
+    params0, nll0, width0 = initial_state(mcmc, read_bins, device_data)
 
     k1, k2, k3 = jax.random.split(key, 3)
     carry = (params0, nll0, width0)

@@ -29,7 +29,11 @@ BARRIER = 1e18
 
 
 class NLLStatic(NamedTuple):
-    """Per-fit constants for the NLL (device arrays).
+    """Per-fit constants for the NLL.
+
+    Store HOST (numpy) arrays here when the struct is closed over by
+    jitted functions — captured device arrays degrade dispatch latency
+    on tunneled backends; numpy constants embed in the executable.
 
     Attributes:
         nexpected: ``(nsignals,)`` expected events per signal at unit rate.
@@ -76,6 +80,7 @@ def nll(pars: jnp.ndarray, lut: jnp.ndarray, norms: jnp.ndarray,
     Returns:
         Scalar f32 NLL (1e18 barrier applied).
     """
+    pars = jnp.asarray(pars)
     w = signal_weights(pars, norms, st)
     lut0 = jnp.nan_to_num(lut, nan=0.0, posinf=0.0, neginf=0.0)
     s = jnp.einsum("j,ji->i", w, lut0, preferred_element_type=jnp.float32)

@@ -76,8 +76,20 @@ def _apply_systematics_rows(cols, theta_ref, systematics):
     return cols
 
 
+def _balanced_split(all_bins: int):
+    """Pick (b1, b2): b2 a power of two near sqrt(all_bins) in [8, 128],
+    b1 = ceil(all_bins / b2).  One-hot cost is (b1 + b2) per sample."""
+    b2 = 8
+    while b2 < 128 and b2 * b2 < all_bins:
+        b2 *= 2
+    b1 = max(-(-all_bins // b2), 1)
+    shift = b2.bit_length() - 1
+    return b1, b2, shift
+
+
 def _make_kernel(nfields, nobs, systematics, lower, upper, nbins,
-                 total_nbins, b1, chunk, has_segments, nsegments):
+                 total_nbins, b1, b2, b2_shift, chunk, has_segments,
+                 nsegments):
     strides = hist_ops.bin_strides(nbins)
     scales = tuple(nbins[i] / (upper[i] - lower[i]) for i in range(nobs))
     g = chunk // LANES
@@ -129,9 +141,12 @@ def _make_kernel(nfields, nobs, systematics, lower, upper, nbins,
         valid_row = ids_row >= 0
         pos = jnp.maximum(ids_row, 0)
 
-        lo = pos % LANES
-        hi = pos // LANES
-        lo_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, chunk), 0)
+        # Balanced two-level split: one-hot construction costs
+        # (b1 + b2) VPU ops per sample, so b1 ~ b2 ~ sqrt(nbins) halves
+        # the cost vs a fixed 128-wide low level.
+        lo = pos & (b2 - 1)
+        hi = pos >> b2_shift
+        lo_iota = jax.lax.broadcasted_iota(jnp.int32, (b2, chunk), 0)
         hi_iota = jax.lax.broadcasted_iota(jnp.int32, (b1, chunk), 0)
         onehot_lo = (lo == lo_iota).astype(jnp.int8)
         onehot_hi = ((hi == hi_iota) & valid_row).astype(jnp.int8)
@@ -186,12 +201,13 @@ def pallas_histogram(
 
     total = hist_ops.total_bins(nbins)
     all_bins = nsegments * total
-    b1 = max(-(-all_bins // LANES), 1)
+    b1, b2, b2_shift = _balanced_split(all_bins)
     g = chunk // LANES
 
     kernel = _make_kernel(
         nfields, nobs, tuple(systematics), tuple(lower), tuple(upper),
-        tuple(nbins), total, b1, chunk, has_segments, nsegments)
+        tuple(nbins), total, b1, b2, b2_shift, chunk, has_segments,
+        nsegments)
 
     theta_pad = jnp.zeros((1, max(theta.shape[0], 1)), jnp.float32)
     theta_pad = theta_pad.at[0, :theta.shape[0]].set(theta)
@@ -206,9 +222,9 @@ def pallas_histogram(
             pl.BlockSpec((nrows, g, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b1, LANES), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((b1, b2), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b1, LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b1, b2), jnp.int32),
         interpret=interpret,
     )(theta_pad, samples_t3)
 
@@ -242,3 +258,121 @@ def pack_samples(
         out[nfields, :n] = segment_ids
         out[nfields, n:] = 0
     return out.reshape(nrows, npad // LANES, LANES)
+
+
+# ---------------------------------------------------------------------------
+# Fused LUT evaluation: the TPU replacement for the reference ``eval_pdf``
+# gather kernel (pdfz.cpp:411-436).  XLA's dynamic gather is slow on TPU;
+# instead the lookup  dens[i] = hist[rb[i]]  is computed as a bilinear
+# form over the same two-level one-hot split used for histogramming:
+#
+#     M = hist2d(b1, b2) @ onehot_lo(b2, C)      (MXU matmul)
+#     dens = sum_h onehot_hi(h, C) * M(h, C)     (VPU multiply-reduce)
+#
+# Sentinels preserved: rb == -1 -> NaN (out of domain), rb == -2 -> 0
+# (dataset mismatch).
+
+
+def _make_eval_kernel(b1, b2, b2_shift, total_nbins, chunk, bin_volume,
+                      nsegments):
+    gp = chunk // LANES
+
+    def kernel(hist_ref, norms_ref, rb_ref, out_ref):
+        sig = pl.program_id(0)
+        rb = rb_ref[0].reshape(1, chunk)
+        offset = sig * total_nbins
+        pos = jnp.maximum(rb, 0) + offset
+        lo = pos & (b2 - 1)
+        hi = pos >> b2_shift
+        lo_iota = jax.lax.broadcasted_iota(jnp.int32, (b2, chunk), 0)
+        hi_iota = jax.lax.broadcasted_iota(jnp.int32, (b1, chunk), 0)
+        onehot_lo = (lo == lo_iota).astype(jnp.float32)
+        onehot_hi = (hi == hi_iota).astype(jnp.float32)
+
+        m = jax.lax.dot_general(
+            hist_ref[:], onehot_lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        counts = jnp.sum(onehot_hi * m, axis=0, keepdims=True)
+
+        norm = norms_ref[0, sig]
+        vals = counts / (norm * bin_volume)
+        vals = jnp.where(rb == -2, 0.0, vals)
+        vals = jnp.where(rb == -1, jnp.nan, vals)
+        out_ref[0] = vals.reshape(gp, LANES)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("total_nbins", "nsegments", "bin_volume", "chunk",
+                     "interpret"))
+def pallas_eval_lut(
+    hist_flat: jnp.ndarray,
+    norms: jnp.ndarray,
+    read_bins_packed: jnp.ndarray,
+    *,
+    total_nbins: int,
+    nsegments: int,
+    bin_volume: float,
+    chunk: int = DEFAULT_CHUNK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Evaluate the (nsignals, npoints) LUT from histogram counts.
+
+    Args:
+        hist_flat: ``(nsegments * total_nbins,)`` f32 counts (the output
+            of :func:`pallas_histogram`).
+        norms: ``(nsegments,)`` f32 in-domain counts.
+        read_bins_packed: ``(nsegments, npad // 128, 128)`` int32 from
+            :func:`pack_read_bins` (pad entries -2).
+
+    Returns:
+        ``(nsegments, npad)`` f32 PDF values (slice to npoints outside).
+    """
+    nseg, npad_g, lanes = read_bins_packed.shape
+    assert lanes == LANES and nseg == nsegments
+    npad = npad_g * LANES
+    assert npad % chunk == 0
+    all_bins = nsegments * total_nbins
+    b1, b2, b2_shift = _balanced_split(all_bins)
+
+    hist2d = jnp.zeros((b1 * b2,), jnp.float32
+                       ).at[:all_bins].set(hist_flat).reshape(b1, b2)
+    norms_row = jnp.zeros((1, max(nsegments, 1)), jnp.float32
+                          ).at[0, :].set(norms)
+
+    kernel = _make_eval_kernel(b1, b2, b2_shift, total_nbins, chunk,
+                               bin_volume, nsegments)
+    gp = chunk // LANES
+    grid = (nsegments, npad // chunk)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b1, b2), lambda s, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, max(nsegments, 1)), lambda s, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, gp, LANES), lambda s, i: (s, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, gp, LANES), lambda s, i: (s, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nsegments, npad // LANES, LANES),
+                                       jnp.float32),
+        interpret=interpret,
+    )(hist2d, norms_row, read_bins_packed)
+    return out.reshape(nsegments, npad)
+
+
+def pack_read_bins(read_bins, chunk: int = DEFAULT_CHUNK):
+    """(nsignals, npoints) int32 -> (nsignals, npad/128, 128), pad -2."""
+    rb = np.asarray(read_bins, np.int32)
+    if rb.ndim == 1:
+        rb = rb[None, :]
+    nsig, n = rb.shape
+    npad = -(-n // chunk) * chunk
+    out = np.full((nsig, npad), -2, np.int32)
+    out[:, :n] = rb
+    return out.reshape(nsig, npad // LANES, LANES)

@@ -73,10 +73,12 @@ def run_sharded_ensemble(
 
     burnin_steps = int(nsteps * fc.burnin_fraction)
 
+    device_data = mcmc.stack.device_data
+
     def run_one_experiment(exp_keys, exp_rb):
         run = lambda k: metropolis._run_single_chain(  # noqa: E731
-            mcmc, k, exp_rb, nsteps=nsteps, burnin_steps=burnin_steps,
-            debug_mode=fc.debug_mode)
+            mcmc, k, exp_rb, device_data, nsteps=nsteps,
+            burnin_steps=burnin_steps, debug_mode=fc.debug_mode)
         return jax.vmap(run)(exp_keys)
 
     batched = jax.vmap(run_one_experiment)

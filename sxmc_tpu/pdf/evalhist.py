@@ -88,6 +88,13 @@ class EvalHist:
         if hist_ops.total_bins(nbins) == 0:
             raise PdfError("Cannot make histogram with zero bins.")
 
+        # Host copies are kept alongside device arrays: converting a
+        # device array back with np.asarray() is a device-to-host
+        # readback, which permanently degrades dispatch latency on
+        # tunneled backends.
+        self.samples_host = samples
+        self.lower_host = tuple(float(x) for x in lower)
+        self.upper_host = tuple(float(x) for x in upper)
         self.samples = jnp.asarray(samples)
         self.weights = (None if weights is None
                         else jnp.asarray(weights, jnp.float32))
@@ -155,13 +162,12 @@ class EvalHist:
 
             if self._packed is None:
                 self._packed = jnp.asarray(pallas_hist.pack_samples(
-                    np.asarray(self.samples), np.asarray(self.lower)))
+                    self.samples_host, self.lower_host))
             bins = pallas_hist.pallas_histogram(
                 self._packed, params,
                 nfields=self.nfields, nobs=self.nobservables,
                 systematics=tuple((d, None) for d in self.systematics),
-                lower=tuple(float(x) for x in np.asarray(self.lower)),
-                upper=tuple(float(x) for x in np.asarray(self.upper)),
+                lower=self.lower_host, upper=self.upper_host,
                 nbins=self.nbins)
             return bins, bins.sum()
         return _histogram(self.samples, params,
@@ -177,6 +183,20 @@ class EvalHist:
             sentinels applied) and the scalar in-domain norm.
         """
         bins, norm = self.histogram(params)
+        if self.use_pallas:
+            from sxmc_tpu.ops import pallas_hist
+
+            nev = read_bins.shape[-1]
+            chunk = min(pallas_hist.DEFAULT_CHUNK,
+                        max(-(-nev // 128) * 128, 128))
+            npad = -(-nev // chunk) * chunk
+            rb = jnp.pad(read_bins, (0, npad - nev),
+                         constant_values=-2).reshape(1, npad // 128, 128)
+            values = pallas_hist.pallas_eval_lut(
+                bins, norm[None], rb, total_nbins=self.total_nbins,
+                nsegments=1, bin_volume=self.bin_volume,
+                chunk=chunk)[0, :nev]
+            return values, norm
         values = eval_from_bins(bins, norm, self.bin_volume, read_bins)
         return values, norm
 
@@ -271,7 +291,7 @@ class EvalHist:
 
     def get_samples(self) -> np.ndarray:
         """Observable columns + dataset tag (reference: pdfz.h:542-556)."""
-        obs = np.asarray(self.samples[:, :self.nobservables])
+        obs = self.samples_host[:, :self.nobservables]
         tag = np.full((obs.shape[0], 1), float(self.dataset), np.float32)
         return np.concatenate([obs, tag], axis=1)
 

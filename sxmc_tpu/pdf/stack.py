@@ -59,14 +59,17 @@ class PdfStack:
             lower[obs.field_index] = obs.lower
             upper[obs.field_index] = obs.upper
             nbins[obs.field_index] = obs.bins
+        self.lower_host = tuple(float(x) for x in lower)
+        self.upper_host = tuple(float(x) for x in upper)
         self.lower = jnp.asarray(lower, jnp.float32)
         self.upper = jnp.asarray(upper, jnp.float32)
         self.nbins = tuple(nbins)
         self.total_nbins = hist_ops.total_bins(self.nbins)
         self.bin_volume = hist_ops.bin_volume(lower, upper, self.nbins)
 
-        # Concatenate all signals' MC samples with a segment id.
-        sample_arrays = [np.asarray(s.histogram.samples) for s in signals]
+        # Concatenate all signals' MC samples with a segment id, from
+        # the host copies (never read device arrays back to host).
+        sample_arrays = [s.histogram.samples_host for s in signals]
         self.samples = jnp.asarray(np.concatenate(sample_arrays, axis=0))
         seg = np.concatenate([
             np.full(a.shape[0], i, np.int32)
@@ -126,24 +129,39 @@ class PdfStack:
 
     # ------------------------------------------------------------------
 
-    def histograms(self, theta_syst: jnp.ndarray
+    @property
+    def device_data(self):
+        """The MC-sample device arrays, to be passed as jit ARGUMENTS.
+
+        Capturing these as closure constants inside jit both re-ships
+        them per call and degrades dispatch latency on tunneled
+        backends — every jitted entry point threads them explicitly.
+        """
+        if self.use_pallas:
+            return (self._packed,)
+        return (self.samples, self.segment_ids)
+
+    def histograms(self, theta_syst: jnp.ndarray, device_data=None
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(nsignals, total_nbins) counts + (nsignals,) norms at theta."""
         theta_syst = jnp.asarray(theta_syst, jnp.float32)
+        if device_data is None:
+            device_data = self.device_data
         if self.use_pallas:
             from sxmc_tpu.ops import pallas_hist
 
+            (packed,) = device_data
             flat = pallas_hist.pallas_histogram(
-                self._packed, theta_syst,
+                packed, theta_syst,
                 nfields=self.samples.shape[1], nobs=self.nobservables,
                 systematics=self._pallas_systs,
-                lower=tuple(float(x) for x in np.asarray(self.lower)),
-                upper=tuple(float(x) for x in np.asarray(self.upper)),
+                lower=self.lower_host, upper=self.upper_host,
                 nbins=self.nbins, nsegments=self.nsignals)
             hists = flat.reshape(self.nsignals, self.total_nbins)
             return hists, hists.sum(axis=1)
+        samples, segment_ids = device_data
         return _stack_histograms(
-            self.samples, self.segment_ids, theta_syst,
+            samples, segment_ids, theta_syst,
             self.lower, self.upper, self.nbins, self.nsignals,
             self.systematics)
 
@@ -168,8 +186,8 @@ class PdfStack:
             rb.append(jnp.where(valid, sig_ids, -1))
         return jnp.stack(rb, axis=-2)  # (..., nsignals, nevents)
 
-    def evaluate(self, theta_syst: jnp.ndarray, read_bins=None
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def evaluate(self, theta_syst: jnp.ndarray, read_bins=None,
+                 device_data=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Fused re-histogram + LUT build: theta -> (lut, norms).
 
         This is the inner loop of the MCMC when systematics float.
@@ -178,7 +196,24 @@ class PdfStack:
             if self._read_bins is None:
                 raise RuntimeError("set_data() must be called first")
             read_bins = self._read_bins
-        hists, norms = self.histograms(theta_syst)
+        hists, norms = self.histograms(theta_syst, device_data)
+        if self.use_pallas:
+            # Fused MXU gather (pallas_eval_lut) instead of XLA's slow
+            # dynamic gather.
+            from sxmc_tpu.ops import pallas_hist
+
+            nev = read_bins.shape[-1]
+            chunk = min(pallas_hist.DEFAULT_CHUNK,
+                        max(-(-nev // 128) * 128, 128))
+            npad = -(-nev // chunk) * chunk
+            rb = jnp.pad(read_bins, ((0, 0), (0, npad - nev)),
+                         constant_values=-2)
+            rb = rb.reshape(self.nsignals, npad // 128, 128)
+            lut = pallas_hist.pallas_eval_lut(
+                hists.reshape(-1), norms, rb,
+                total_nbins=self.total_nbins, nsegments=self.nsignals,
+                bin_volume=self.bin_volume, chunk=chunk)[:, :nev]
+            return lut, norms
         lut = jax.vmap(evalhist.eval_from_bins, in_axes=(0, 0, None, 0))(
             hists, norms, self.bin_volume, read_bins)
         return lut, norms

@@ -1,0 +1,131 @@
+"""Tests for the KDE evaluator, chain checkpointing, observability."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sxmc_tpu.pdf.evalkde import EvalKDE
+from sxmc_tpu.ops.transforms import SHIFT, SystematicDesc
+from sxmc_tpu import checkpoint
+from sxmc_tpu.generator import make_fake_dataset
+from sxmc_tpu.mcmc.metropolis import MCMC
+from sxmc_tpu.observability import MetricsLogger, Stopwatch, plot_traces
+from tests.test_mcmc import make_fixture
+
+
+class TestEvalKDE:
+    def test_density_integrates_to_one(self):
+        rng = np.random.default_rng(0)
+        samples = rng.normal(0.5, 0.15, (5000, 1)).astype(np.float32)
+        kde = EvalKDE(samples, 1, 1, [0.0], [1.0])
+        xs = np.linspace(0.0, 0.9999, 400)
+        pts = np.stack([xs, np.zeros_like(xs)], axis=1)
+        dens, norm = kde.eval_points(pts)
+        dens = np.asarray(dens)
+        assert np.isfinite(dens).all()
+        integral = np.trapezoid(dens, xs)
+        np.testing.assert_allclose(integral, 1.0, atol=0.01)
+        assert float(norm) == ((samples >= 0) & (samples < 1)).sum()
+
+    def test_matches_true_density(self):
+        rng = np.random.default_rng(1)
+        samples = rng.uniform(0, 1, (20000, 1)).astype(np.float32)
+        kde = EvalKDE(samples, 1, 1, [0.0], [1.0])
+        pts = np.array([[0.3, 0], [0.5, 0], [0.7, 0]], np.float32)
+        dens, _ = kde.eval_points(pts)
+        np.testing.assert_allclose(np.asarray(dens), 1.0, rtol=0.1)
+
+    def test_sentinels(self):
+        samples = np.full((100, 1), 0.5, np.float32)
+        kde = EvalKDE(samples, 1, 1, [0.0], [1.0], dataset=2)
+        pts = np.array([[-0.5, 2], [0.5, 0], [0.5, 2]], np.float32)
+        dens, _ = kde.eval_points(pts)
+        dens = np.asarray(dens)
+        assert np.isnan(dens[0])       # out of domain
+        assert dens[1] == 0.0          # dataset mismatch
+        assert dens[2] > 0             # valid
+
+    def test_systematic_shifts_density(self):
+        rng = np.random.default_rng(2)
+        samples = rng.normal(0.5, 0.1, (5000, 1)).astype(np.float32)
+        kde = EvalKDE(samples, 1, 1, [0.0], [1.0])
+        kde.add_systematic(SystematicDesc(SHIFT, obs=0, par_indices=(0,)))
+        pts = np.array([[0.7, 0]], np.float32)
+        d0, _ = kde.eval_points(pts, params=[0.0])
+        d1, _ = kde.eval_points(pts, params=[0.2])
+        assert float(d1[0]) > float(d0[0])
+
+    def test_bandwidth_scale_validation(self):
+        with pytest.raises(Exception):
+            EvalKDE(np.zeros((10, 1), np.float32), 1, 1, [0.0], [1.0],
+                    bandwidth_scale=[1.0, 1.0])
+
+
+class TestCheckpoint:
+    def test_resume_reproduces_uninterrupted_run(self, tmp_path):
+        obs, systs, sources, signals = make_fixture()
+        data = make_fake_dataset(jax.random.PRNGKey(4), signals, systs,
+                                 [obs], poisson=False)
+        mcmc = MCMC(sources, signals, systs, [obs])
+
+        # Uninterrupted run.
+        p1 = str(tmp_path / "a.npz")
+        ls1 = checkpoint.run_checkpointed(
+            mcmc, data, nsteps=600, burnin_fraction=0.2,
+            segment_steps=10000, checkpoint_path=p1, seed=7)
+
+        # Interrupted run: small segments; kill after a few, resume.
+        p2 = str(tmp_path / "b.npz")
+        checkpoint.run_checkpointed(
+            mcmc, data, nsteps=300, burnin_fraction=0.4,
+            segment_steps=50, checkpoint_path=p2, seed=7)
+        # Same total via resume on the *same* checkpoint with more steps
+        st = checkpoint.load_chain_state(p2)
+        assert int(st["step"]) == 300
+        ls2 = checkpoint.run_checkpointed(
+            mcmc, data, nsteps=600, burnin_fraction=0.2,
+            segment_steps=50, checkpoint_path=p2, seed=7)
+        # Identical RNG stream per segment is not guaranteed between
+        # different segmentations, but the posterior must agree.
+        m1, m2 = ls1.column("sig").mean(), ls2.column("sig").mean()
+        s1 = ls1.column("sig").std()
+        assert abs(m1 - m2) < 5 * s1
+
+    def test_state_roundtrip(self, tmp_path):
+        p = str(tmp_path / "s.npz")
+        state = {"params": np.arange(3, dtype=np.float32),
+                 "step": np.int64(42)}
+        checkpoint.save_chain_state(p, state)
+        got = checkpoint.load_chain_state(p)
+        assert int(got["step"]) == 42
+        np.testing.assert_array_equal(got["params"], state["params"])
+        assert checkpoint.load_chain_state(str(tmp_path / "no.npz")) is None
+
+
+class TestObservability:
+    def test_metrics_logger(self, tmp_path):
+        path = str(tmp_path / "metrics.jsonl")
+        log = MetricsLogger(path)
+        log.log("step_batch", step=100, accept_rate=0.31)
+        log.log("fit_done", nll=-12.5)
+        assert len(log.records) == 2
+        lines = open(path).read().strip().split("\n")
+        assert len(lines) == 2
+        assert '"event": "step_batch"' in lines[0]
+
+    def test_stopwatch(self):
+        sw = Stopwatch()
+        assert sw.real_time() >= 0
+
+    def test_plot_traces(self, tmp_path):
+        from sxmc_tpu.stats.likelihood import LikelihoodSpace
+
+        rng = np.random.default_rng(0)
+        ls = LikelihoodSpace(rng.normal(size=(500, 2)).astype(np.float32),
+                             rng.normal(size=500).astype(np.float32),
+                             ["a", "b"])
+        out = plot_traces(ls, str(tmp_path))
+        assert os.path.exists(out)

@@ -91,9 +91,12 @@ def test_sharded_ensemble_runs(fit):
     keys = jnp.stack([jax.random.split(jax.random.fold_in(key, i), 2)
                       for i in range(4)])
 
+    device_data = mcmc.stack.device_data
+
     def run_one(exp_keys, exp_rb):
         run = lambda k: metropolis._run_single_chain(  # noqa: E731
-            mcmc, k, exp_rb, nsteps=10, burnin_steps=2, debug_mode=False)
+            mcmc, k, exp_rb, device_data, nsteps=10, burnin_steps=2,
+            debug_mode=False)
         return jax.vmap(run)(exp_keys)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
