@@ -45,6 +45,8 @@ def read_float_table(filename: str) -> Tuple[np.ndarray, List[str]]:
         return _read_csv(filename)
     if ext in (".h5", ".hdf5"):
         return _read_hdf5(filename)
+    if ext in (".sxnt", ".sxt"):
+        return _read_sxnt(filename)
     if ext == ".root":
         return _read_root(filename)
     raise DataError(f"Unsupported data format: {filename}")
@@ -81,6 +83,10 @@ def write_float_table(filename: str, data: np.ndarray,
         with h5py.File(filename, "w") as f:
             ds = f.create_dataset("data", data=data)
             ds.attrs["fields"] = list(fields)
+    elif ext in (".sxnt", ".sxt"):
+        from sxmc_tpu.io import native
+
+        native.write_sxnt(filename, data, fields)
     else:
         raise DataError(f"Unsupported output format: {filename}")
 
@@ -134,6 +140,17 @@ def _read_hdf5(filename: str):
             return data, fields
         names = sorted(f.keys())
         return _as_float_matrix([np.asarray(f[n]) for n in names], names)
+
+
+def _read_sxnt(filename: str):
+    # Native mmap-backed columnar store (sxmc_tpu/io/native).
+    from sxmc_tpu.io import native
+
+    store = native.EventStore(filename)
+    try:
+        return store.read_all(), list(store.fields)
+    finally:
+        store.close()
 
 
 def _read_root(filename: str):

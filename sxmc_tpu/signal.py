@@ -141,6 +141,31 @@ class Signal:
         cuts: Sequence[Observable],
         systematics: Sequence[Systematic],
     ) -> "Signal":
+        if filename.endswith((".sxnt", ".sxt")):
+            # Native ingest: cuts + column mapping + DATASET tag run in
+            # the C++ event store (sxmc_tpu/io/native), no Python loop.
+            from sxmc_tpu.io import native
+
+            if native.available():
+                store = native.EventStore(filename)
+                try:
+                    n_mc = store.nrows
+                    samples = store.select(
+                        list(sample_fields[:-1]),
+                        cuts=[(c.field, c.lower, c.upper) for c in cuts],
+                        dataset_tag=float(dataset))
+                finally:
+                    store.close()
+                if nexpected < 0:
+                    nexpected = -nexpected * n_mc
+                hist = build_pdf(samples, sample_fields, observables,
+                                 systematics, dataset)
+                return cls(
+                    name=name, title=title, filename=filename,
+                    dataset=dataset, source=source,
+                    nexpected=float(nexpected), n_mc=int(n_mc),
+                    histogram=hist,
+                    systematic_names=[s.name for s in systematics])
         data, fields = loaders.read_float_table(filename)
         return cls.from_table(
             name, title, data, fields, dataset, source, nexpected,
