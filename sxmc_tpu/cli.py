@@ -25,6 +25,11 @@ def main(argv=None) -> int:
                         help="base directory for relative data filenames")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")
+    parser.add_argument("--sharded", action="store_true",
+                        help="run all fake experiments as one vmapped "
+                             "batch sharded over the device mesh")
+    parser.add_argument("--sampler", choices=["metropolis", "hmc"],
+                        default="metropolis", help="MCMC sampler")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -32,8 +37,28 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
+    if args.sharded:
+        import os
+
+        from sxmc_tpu.fitconfig import FitConfig
+        from sxmc_tpu.parallel.ensemble import run_sharded_ensemble
+        from sxmc_tpu.utils import median
+
+        fc = FitConfig.from_json_file(args.config,
+                                      data_root=args.data_root)
+        print(fc.print())
+        os.makedirs(args.output_path, exist_ok=True)
+        lspaces, limits = run_sharded_ensemble(fc)
+        for i, ls in enumerate(lspaces):
+            ls.save(os.path.join(args.output_path,
+                                 f"{fc.output_prefix}_{i}.hdf5"))
+            print(ls.print_best_fit())
+        if limits:
+            print(f"sxmc_tpu: Median upper limit: {median(limits)}")
+        return 0
+
     main_fit(args.config, args.output_path, resume=args.resume,
-             data_root=args.data_root)
+             data_root=args.data_root, sampler=args.sampler)
     return 0
 
 

@@ -30,6 +30,7 @@ def run_ensemble(
     output_path: str,
     resume: bool = False,
     verbose: bool = True,
+    sampler: str = "metropolis",
 ) -> List[float]:
     """Run the full ensemble; returns the per-experiment upper limits."""
     os.makedirs(output_path, exist_ok=True)
@@ -84,8 +85,14 @@ def run_ensemble(
                 samples_data = np.concatenate(chunks, axis=0)
 
             if mcmc is None:
-                mcmc = MCMC(fc.sources, fc.signals, fc.systematics,
-                            fc.observables)
+                if sampler == "hmc":
+                    from sxmc_tpu.mcmc.hmc import HMC
+
+                    mcmc = HMC(fc.sources, fc.signals, fc.systematics,
+                               fc.observables)
+                else:
+                    mcmc = MCMC(fc.sources, fc.signals, fc.systematics,
+                                fc.observables)
             ls = mcmc(samples_data, fc.nsteps, fc.burnin_fraction,
                       debug_mode=fc.debug_mode, key=exp_key,
                       nchains=fc.nchains)
@@ -121,7 +128,8 @@ def run_ensemble(
 
 
 def main_fit(config_file: str, output_path: str, resume: bool = False,
-             data_root: Optional[str] = None) -> List[float]:
+             data_root: Optional[str] = None,
+             sampler: str = "metropolis") -> List[float]:
     """Full driver (reference: sxmc.cpp:181-229)."""
     print("sxmc_tpu: Loading configuration...")
     print(f"sxmc_tpu: Configuration: {config_file}")
@@ -129,7 +137,8 @@ def main_fit(config_file: str, output_path: str, resume: bool = False,
     print(fc.print())
 
     print("sxmc_tpu: Running ensemble...")
-    limits = run_ensemble(fc, output_path, resume=resume)
+    limits = run_ensemble(fc, output_path, resume=resume,
+                          sampler=sampler)
 
     if limits:
         print("sxmc_tpu: Upper limits:", ", ".join(f"{x:g}" for x in limits))

@@ -218,6 +218,29 @@ class EvalHist:
         dens = bins / (norm * self.bin_volume)
         return np.asarray(dens).reshape(self.nbins)
 
+    def density_projection(self, observable_index: int,
+                           params=None) -> np.ndarray:
+        """1-D projection of the density onto one observable.
+
+        Reference: EvalHist::CreateHistogramProjection (pdfz.cpp:597-619)
+        — declared there but left unimplemented ("Not implemented");
+        this is the working version.  Returns a normalized 1-D density
+        over the observable's domain.
+        """
+        if not 0 <= observable_index < self.nobservables:
+            raise PdfError(
+                "CreateHistogramProjection: Invalid observable index!")
+        dens = self.density_histogram(params)
+        axes = tuple(a for a in range(self.nobservables)
+                     if a != observable_index)
+        marg = dens.sum(axis=axes) if axes else dens
+        # Convert bin densities to a normalized 1-D density.
+        lo = float(np.asarray(self.lower)[observable_index])
+        up = float(np.asarray(self.upper)[observable_index])
+        width = (up - lo) / self.nbins[observable_index]
+        total = marg.sum() * width
+        return marg / total if total > 0 else marg
+
     def random_sample(
         self,
         key,

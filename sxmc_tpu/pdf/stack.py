@@ -78,6 +78,21 @@ class PdfStack:
         self.n_mc = jnp.asarray([s.n_mc for s in signals], jnp.float32)
         self.datasets = [s.dataset for s in signals]
 
+        # Weighted MC samples (an extension over the reference, whose
+        # weights were planned-but-withdrawn): any weighted signal
+        # forces the jnp histogram path.
+        self.has_weights = any(s.histogram.weights is not None
+                               for s in signals)
+        if self.has_weights:
+            w = np.concatenate([
+                np.asarray(s.histogram.weights) if
+                s.histogram.weights is not None
+                else np.ones(a.shape[0], np.float32)
+                for s, a in zip(signals, sample_arrays)])
+            self.sample_weights = jnp.asarray(w, jnp.float32)
+        else:
+            self.sample_weights = None
+
         # Global systematics with per-signal application masks: signal j
         # applies systematic s iff s was attached to its PDF
         # (signal.cpp:144-165).
@@ -93,7 +108,8 @@ class PdfStack:
             for s in systematics)
         self.nsyst_params = sum(s.npars for s in systematics)
 
-        self.use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = (jax.default_backend() == "tpu" and
+                           not self.has_weights)
         self._packed = None
         if self.use_pallas:
             from sxmc_tpu.ops import pallas_hist
@@ -139,6 +155,8 @@ class PdfStack:
         """
         if self.use_pallas:
             return (self._packed,)
+        if self.sample_weights is not None:
+            return (self.samples, self.segment_ids, self.sample_weights)
         return (self.samples, self.segment_ids)
 
     def histograms(self, theta_syst: jnp.ndarray, device_data=None
@@ -159,11 +177,12 @@ class PdfStack:
                 nbins=self.nbins, nsegments=self.nsignals)
             hists = flat.reshape(self.nsignals, self.total_nbins)
             return hists, hists.sum(axis=1)
-        samples, segment_ids = device_data
+        samples, segment_ids = device_data[0], device_data[1]
+        weights = device_data[2] if len(device_data) > 2 else None
         return _stack_histograms(
             samples, segment_ids, theta_syst,
             self.lower, self.upper, self.nbins, self.nsignals,
-            self.systematics)
+            self.systematics, weights)
 
     def compute_read_bins(self, data: np.ndarray) -> jnp.ndarray:
         """Per-signal read bins for a dataset, as an explicit array.
@@ -262,10 +281,11 @@ def _apply_masked_systematics(samples, segment_ids, theta, systematics,
     jax.jit,
     static_argnames=("nbins", "nsignals", "systematics"))
 def _stack_histograms(samples, segment_ids, theta, lower, upper, nbins,
-                      nsignals, systematics):
+                      nsignals, systematics, weights=None):
     transformed = _apply_masked_systematics(
         samples, segment_ids, theta, systematics, nsignals)
     nobs = len(nbins)
     return hist_ops.segmented_histogram(
         transformed[:, :nobs], segment_ids,
-        jnp.ones(samples.shape[0], bool), lower, upper, nbins, nsignals)
+        jnp.ones(samples.shape[0], bool), lower, upper, nbins, nsignals,
+        weights=weights)
