@@ -28,7 +28,7 @@ def main(argv=None) -> int:
     parser.add_argument("--sharded", action="store_true",
                         help="run all fake experiments as one vmapped "
                              "batch sharded over the device mesh")
-    parser.add_argument("--sampler", choices=["metropolis", "hmc"],
+    parser.add_argument("--sampler", choices=["metropolis", "hmc", "nuts"],
                         default="metropolis", help="MCMC sampler")
     args = parser.parse_args(argv)
 

@@ -90,6 +90,11 @@ def run_ensemble(
 
                     mcmc = HMC(fc.sources, fc.signals, fc.systematics,
                                fc.observables)
+                elif sampler == "nuts":
+                    from sxmc_tpu.mcmc.nuts import NUTS
+
+                    mcmc = NUTS(fc.sources, fc.signals, fc.systematics,
+                                fc.observables)
                 else:
                     mcmc = MCMC(fc.sources, fc.signals, fc.systematics,
                                 fc.observables)
