@@ -237,7 +237,7 @@ def bench_mcmc():
     # NLL-only evals/s (fixed LUT), fori inside one jit.
     theta0 = jnp.zeros(1, jnp.float32)
     lut, norms = mcmc.stack.evaluate(theta0, rb)
-    nbatch = 1024
+    nbatch = 8192
 
     def nll_reps(nreps):
         @jax.jit
@@ -251,7 +251,8 @@ def bench_mcmc():
             return jax.lax.fori_loop(0, nreps, body, jnp.float32(0))
         return f
 
-    per_batch = _slope(nll_reps(10), nll_reps(100), 10, 100, (lut, norms))
+    per_batch = _slope(nll_reps(100), nll_reps(2000), 100, 2000,
+                       (lut, norms))
 
     return [
         {"metric": "mcmc_steps_per_sec_floating_syst",

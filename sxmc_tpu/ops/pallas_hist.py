@@ -5,16 +5,17 @@ This is the TPU-native replacement for the reference's atomicAdd
 the whole per-MCMC-step PDF rebuild into one kernel:
 
     HBM samples --DMA--> VMEM --> systematics --> bin ids
-        --> int8 two-level one-hot --> int8 MXU matmul --> VMEM hist
+        --> bf16 two-level one-hot --> MXU matmul (f32 accum) --> hist
 
 Key design points:
   * No atomics (TPUs have none): a bin id ``b`` is split into
-    ``(hi, lo) = (b // 128, b % 128)`` and the histogram becomes the
-    int8 matmul  ``onehot_hi(B1, C) @ onehot_lo(128, C)^T -> (B1, 128)``
-    accumulated in int32 — counts are exact.
+    ``(hi, lo) = (b >> s, b & (B2-1))`` with ``B1 ~ B2 ~ sqrt(nbins)``
+    and the histogram becomes the matmul
+    ``onehot_hi(B1, C) @ onehot_lo(B2, C)^T -> (B1, B2)`` — bf16
+    one-hots (exact 0/1) with f32 accumulation, so counts are exact.
   * One-hots are built in ``(bins, chunk)`` lane-major layout directly
-    from a ``(1, C)`` id row, so no transposes of big arrays are needed;
-    int8 quadruples VPU compare/select throughput vs f32.
+    from a ``(1, C)`` id row, so no transposes of big arrays are
+    needed.
   * Field math (systematic transforms) runs on ``(G, 128)``-shaped
     blocks at full sublane utilization; only the final id/valid rows are
     reshaped to ``(1, C)``.
@@ -44,7 +45,20 @@ from sxmc_tpu.ops import histogram as hist_ops
 from sxmc_tpu.ops import transforms
 
 LANES = 128
-DEFAULT_CHUNK = 16384
+DEFAULT_CHUNK = 65536  # pack_samples padding granularity
+_VMEM_ONEHOT_BUDGET = 12 << 20  # bytes for the one-hot pair per step
+
+
+def _auto_chunk(b1: int, b2: int, bytes_per_el: int = None) -> int:
+    """Largest power-of-two chunk <= DEFAULT_CHUNK whose one-hot pair
+    fits the VMEM budget."""
+    if bytes_per_el is None:
+        bytes_per_el = 2 if b1 + b2 <= 160 else 1
+    chunk = DEFAULT_CHUNK
+    while chunk > 2048 and (b1 + b2) * chunk * bytes_per_el > \
+            _VMEM_ONEHOT_BUDGET:
+        chunk //= 2
+    return chunk
 
 
 def _apply_systematics_rows(cols, theta_ref, systematics):
@@ -148,13 +162,22 @@ def _make_kernel(nfields, nobs, systematics, lower, upper, nbins,
         hi = pos >> b2_shift
         lo_iota = jax.lax.broadcasted_iota(jnp.int32, (b2, chunk), 0)
         hi_iota = jax.lax.broadcasted_iota(jnp.int32, (b1, chunk), 0)
-        onehot_lo = (lo == lo_iota).astype(jnp.int8)
-        onehot_hi = ((hi == hi_iota) & valid_row).astype(jnp.int8)
-
-        part = jax.lax.dot_general(
-            onehot_hi, onehot_lo, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        out_ref[:] += part
+        # One-hot dtype (both exact for 0/1 counts): bf16 measures
+        # faster for narrow splits, int8 (half the VMEM) for wide ones.
+        if b1 + b2 <= 160:
+            onehot_lo = (lo == lo_iota).astype(jnp.bfloat16)
+            onehot_hi = ((hi == hi_iota) & valid_row).astype(jnp.bfloat16)
+            part = jax.lax.dot_general(
+                onehot_hi, onehot_lo, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_ref[:] += part.astype(jnp.int32)
+        else:
+            onehot_lo = (lo == lo_iota).astype(jnp.int8)
+            onehot_hi = ((hi == hi_iota) & valid_row).astype(jnp.int8)
+            part = jax.lax.dot_general(
+                onehot_hi, onehot_lo, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            out_ref[:] += part
 
     return kernel
 
@@ -174,7 +197,7 @@ def pallas_histogram(
     upper: Tuple[float, ...],
     nbins: Tuple[int, ...],
     nsegments: int = 1,
-    chunk: int = DEFAULT_CHUNK,
+    chunk: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Run the fused histogram kernel.
@@ -196,12 +219,16 @@ def pallas_histogram(
     nrows, npad_g, lanes = samples_t3.shape
     assert lanes == LANES
     npad = npad_g * LANES
-    assert npad % chunk == 0, (npad, chunk)
     has_segments = nrows == nfields + 1
 
     total = hist_ops.total_bins(nbins)
     all_bins = nsegments * total
     b1, b2, b2_shift = _balanced_split(all_bins)
+    if chunk is None:
+        chunk = _auto_chunk(b1, b2)
+        while npad % chunk != 0:
+            chunk //= 2
+    assert npad % chunk == 0, (npad, chunk)
     g = chunk // LANES
 
     kernel = _make_kernel(
@@ -315,7 +342,7 @@ def pallas_eval_lut(
     total_nbins: int,
     nsegments: int,
     bin_volume: float,
-    chunk: int = DEFAULT_CHUNK,
+    chunk: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Evaluate the (nsignals, npoints) LUT from histogram counts.
@@ -333,9 +360,13 @@ def pallas_eval_lut(
     nseg, npad_g, lanes = read_bins_packed.shape
     assert lanes == LANES and nseg == nsegments
     npad = npad_g * LANES
-    assert npad % chunk == 0
     all_bins = nsegments * total_nbins
     b1, b2, b2_shift = _balanced_split(all_bins)
+    if chunk is None:
+        chunk = _auto_chunk(b1, b2, bytes_per_el=4)
+        while npad % chunk != 0:
+            chunk //= 2
+    assert npad % chunk == 0
 
     hist2d = jnp.zeros((b1 * b2,), jnp.float32
                        ).at[:all_bins].set(hist_flat).reshape(b1, b2)
