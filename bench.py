@@ -254,11 +254,18 @@ def bench_mcmc():
     per_batch = _slope(nll_reps(100), nll_reps(2000), 100, 2000,
                        (lut, norms))
 
+    # A config/example.json-scale experiment is 100k steps
+    # (reference config/example.json "nsteps": 100000).
+    exp_per_hour = 3600.0 / (100_000 * per_step)
+
     return [
         {"metric": "mcmc_steps_per_sec_floating_syst",
          "value": 1.0 / per_step, "unit": "steps/s",
          "detail": f"2 signals x {n_mc} MC samples rebuilt per step, "
                    f"{nevents} events, {per_step*1e3:.3f} ms/step"},
+        {"metric": "ensemble_experiments_per_hour_per_chip",
+         "value": exp_per_hour, "unit": "experiments/h",
+         "detail": "100k-step experiments, floating systematics"},
         {"metric": "nll_evals_per_sec", "value": nbatch / per_batch,
          "unit": "evals/s",
          "detail": f"fixed LUT, {nevents} events x 2 signals, "
