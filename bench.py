@@ -67,7 +67,8 @@ def main() -> None:
         rng.uniform(0.0, 1.0, NEVAL).astype(np.float32),
         np.zeros(NEVAL, np.float32)], axis=1)
 
-    ev = EvalHist(samples, 1, 1, [0.0], [1.0], [NBINS])
+    ev = EvalHist(samples, 1, 1, [0.0], [1.0], [NBINS],
+                  use_pallas=True)
     syst = SystematicDesc(SHIFT, obs=0, par_indices=(0,))
     ev.add_systematic(syst)
     read_bins = ev.compute_read_bins(eval_points)

@@ -39,15 +39,40 @@ def run_ensemble(
         if verbose:
             print(msg)
 
-    # Export nominal PDFs (sxmc.cpp:45-55).
+    # One sampler (and one batched PDF stack) is reused for every
+    # experiment, the PDF export, and fake-data generation — per-signal
+    # kernel builds would pay one compile per distinct MC size.
+    mcmc: Optional[MCMC] = None
+    if not fc.samples:
+        if sampler == "hmc":
+            from sxmc_tpu.mcmc.hmc import HMC
+
+            mcmc = HMC(fc.sources, fc.signals, fc.systematics,
+                       fc.observables)
+        elif sampler == "nuts":
+            from sxmc_tpu.mcmc.nuts import NUTS
+
+            mcmc = NUTS(fc.sources, fc.signals, fc.systematics,
+                        fc.observables)
+        else:
+            mcmc = MCMC(fc.sources, fc.signals, fc.systematics,
+                        fc.observables)
+
+    # Export nominal PDFs (sxmc.cpp:45-55) from the batched stack.
     if fc.plots and not fc.samples:
-        for sig in fc.signals:
-            dens = sig.histogram.density_histogram(None)
+        from sxmc_tpu.signal import nominal_params
+
+        hists, norms = mcmc.stack.histograms(
+            nominal_params(fc.systematics))
+        hists = np.asarray(hists)
+        norms = np.asarray(norms)
+        for i, sig in enumerate(fc.signals):
+            dens = hists[i].reshape(mcmc.stack.nbins) / max(
+                float(norms[i]) * mcmc.stack.bin_volume, 1e-30)
             np.save(os.path.join(output_path, f"{sig.name}_pdf.npy"), dens)
 
     key = jax.random.PRNGKey(fc.seed)
     limits: List[float] = []
-    mcmc: Optional[MCMC] = None
 
     for i in range(fc.nexperiments):
         log(f"Experiment {i + 1} / {fc.nexperiments}")
@@ -74,7 +99,8 @@ def run_ensemble(
                 log(f"ensemble: Sampling fake dataset {i}")
                 samples_data = make_fake_dataset(
                     exp_key, fc.signals, fc.systematics, fc.observables,
-                    poisson=True, verbose=verbose)
+                    poisson=True, verbose=verbose,
+                    stack=mcmc.stack if mcmc else None)
             else:
                 chunks = []
                 for dataset, sigs in fc.data.items():
@@ -84,20 +110,6 @@ def run_ensemble(
                     chunks.append(sig.histogram.get_samples())
                 samples_data = np.concatenate(chunks, axis=0)
 
-            if mcmc is None:
-                if sampler == "hmc":
-                    from sxmc_tpu.mcmc.hmc import HMC
-
-                    mcmc = HMC(fc.sources, fc.signals, fc.systematics,
-                               fc.observables)
-                elif sampler == "nuts":
-                    from sxmc_tpu.mcmc.nuts import NUTS
-
-                    mcmc = NUTS(fc.sources, fc.signals, fc.systematics,
-                                fc.observables)
-                else:
-                    mcmc = MCMC(fc.sources, fc.signals, fc.systematics,
-                                fc.observables)
             ls = mcmc(samples_data, fc.nsteps, fc.burnin_fraction,
                       debug_mode=fc.debug_mode, key=exp_key,
                       nchains=fc.nchains)

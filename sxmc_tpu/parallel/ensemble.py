@@ -55,15 +55,16 @@ def run_sharded_ensemble(
     if mesh is None:
         mesh = mesh_lib.auto_mesh(fc.nexperiments, fc.nchains)
 
+    mcmc = MCMC(fc.sources, fc.signals, fc.systematics, fc.observables)
+
     key = jax.random.PRNGKey(fc.seed)
     datasets = [
         make_fake_dataset(jax.random.fold_in(key, i), fc.signals,
-                          fc.systematics, fc.observables, poisson=True)
+                          fc.systematics, fc.observables, poisson=True,
+                          stack=mcmc.stack)
         for i in range(fc.nexperiments)
     ]
     data_batch = pad_datasets(datasets)
-
-    mcmc = MCMC(fc.sources, fc.signals, fc.systematics, fc.observables)
     rb = mcmc.stack.compute_read_bins(data_batch)  # (nexp, nsig, nev)
 
     nchains = max(fc.nchains, 1)

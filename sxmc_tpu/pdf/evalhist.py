@@ -58,6 +58,7 @@ class EvalHist:
         nbins: Sequence[int],
         dataset: int = 0,
         weights=None,
+        use_pallas: bool = False,
     ):
         samples = np.asarray(samples, dtype=np.float32)
         if samples.ndim == 1:
@@ -107,9 +108,12 @@ class EvalHist:
         self.total_nbins = hist_ops.total_bins(self.nbins)
         self.bin_volume = hist_ops.bin_volume(lower, upper, self.nbins)
         self.systematics: Tuple[transforms.SystematicDesc, ...] = ()
-        # Pallas fused kernel is used on TPU for unweighted histograms;
-        # the pure-jnp path covers CPU and weighted samples.
-        self.use_pallas = (weights is None and
+        # The Pallas kernel pays a large one-time (remote) compile per
+        # distinct sample count; for one-shot EvalHist use the jnp path
+        # compiles far faster and is plenty.  The fit hot loop uses the
+        # batched PdfStack, which always uses Pallas on TPU.  Opt in
+        # here for repeated single-PDF evaluation at scale.
+        self.use_pallas = (use_pallas and weights is None and
                            jax.default_backend() == "tpu")
         self._packed = None
 
@@ -253,64 +257,21 @@ class EvalHist:
     ) -> np.ndarray:
         """Draw events from the binned PDF (reference: pdfz.cpp:817-922).
 
-        The reference samples via ROOT ``TH1::GetRandom``: categorical over
-        bins by content, uniform within a bin, with rejection against the
-        optional per-observable bounds.  We implement the same semantics
-        with jax.random, without the <=3-D restriction.
-
-        Returns ``(nobserved, nobservables + 1)`` float32 events with the
-        dataset tag in the last column.
+        The reference samples via ROOT ``TH1::GetRandom``: categorical
+        over bins by content, uniform within a bin, with rejection
+        against the optional per-observable bounds.  Implemented by
+        :func:`sxmc_tpu.generator.sample_from_counts`, without the
+        reference's <=3-D restriction.
         """
+        from sxmc_tpu.generator import sample_from_counts
+
         if dataset is None:
             dataset = self.dataset
         bins, _ = self.histogram(syst_vals)
-        bins = np.asarray(bins, np.float64).reshape(-1)
-
-        key_n, key_bin, key_pos = jax.random.split(jnp.asarray(key), 3)
-        if poisson:
-            nobs = int(jax.random.poisson(key_n, nexpected))
-        else:
-            nobs = int(np.floor(nexpected + 0.5))  # nint (utils.h)
-        if nobs == 0:
-            return np.zeros((0, self.nobservables + 1), np.float32)
-
-        strides = hist_ops.bin_strides(self.nbins)
-        lower = np.asarray(self.lower, np.float64)
-        upper = np.asarray(self.upper, np.float64)
-        widths = (upper - lower) / np.asarray(self.nbins, np.float64)
-
-        # Restrict to bins inside the rejection bounds up front, which is
-        # equivalent to (but cheaper than) the reference's accept/reject
-        # loop for bound-aligned bins.
-        probs = bins.copy()
-        if uppers is not None and len(np.atleast_1d(uppers)):
-            uppers = np.atleast_1d(np.asarray(uppers, np.float64))
-            lowers = np.atleast_1d(np.asarray(lowers, np.float64))
-            centers_ok = np.ones(probs.shape[0], bool)
-            flat = np.arange(probs.shape[0])
-            for i, (st, nb) in enumerate(zip(strides, self.nbins)):
-                axis_idx = (flat // st) % nb
-                lo_edge = lower[i] + axis_idx * widths[i]
-                hi_edge = lo_edge + widths[i]
-                centers_ok &= (hi_edge > lowers[i]) & (lo_edge < uppers[i])
-            probs = np.where(centers_ok, probs, 0.0)
-        total = probs.sum()
-        if total <= 0:
-            return np.zeros((0, self.nobservables + 1), np.float32)
-        probs = probs / total
-
-        bin_idx = np.asarray(jax.random.choice(
-            key_bin, probs.shape[0], shape=(nobs,), p=jnp.asarray(probs)))
-        u = np.asarray(jax.random.uniform(
-            key_pos, (nobs, self.nobservables), dtype=jnp.float32),
-            np.float64)
-
-        events = np.empty((nobs, self.nobservables + 1), np.float32)
-        for i, (st, nb) in enumerate(zip(strides, self.nbins)):
-            axis_idx = (bin_idx // st) % nb
-            events[:, i] = lower[i] + (axis_idx + u[:, i]) * widths[i]
-        events[:, self.nobservables] = float(dataset)
-        return events
+        return sample_from_counts(
+            key, np.asarray(bins), self.nbins, self.lower_host,
+            self.upper_host, nexpected, uppers=uppers, lowers=lowers,
+            poisson=poisson, dataset=dataset)
 
     def get_samples(self) -> np.ndarray:
         """Observable columns + dataset tag (reference: pdfz.h:542-556)."""
