@@ -1,0 +1,196 @@
+"""Fully event-sharded MCMC chain: the 10M+ event / 10M+ MC-sample path.
+
+Both the MC samples (histogram build) and the data events (NLL
+reduction) are sharded over the mesh's ``event`` axis; each step runs
+under ``shard_map`` with two psums:
+
+    local partial histogram  --psum-->  full bins + norms
+    local event log-sum      --psum-->  full NLL event term
+
+Every shard runs the identical proposal/accept RNG stream, so the chain
+state stays replicated without broadcasts — the whole walk is one
+``lax.scan`` per phase, as in the single-device path.
+
+(The in-shard histogram uses the jnp MXU-matmul path; on a real
+multi-chip TPU each shard can swap in the Pallas kernel — the shard_map
+body is per-device code.)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sxmc_tpu.mcmc.metropolis import MCMC, HAARIO
+from sxmc_tpu.ops import histogram as hist_ops
+from sxmc_tpu.ops.nll import BARRIER, signal_weights
+from sxmc_tpu.pdf import evalhist
+from sxmc_tpu.pdf.stack import _apply_masked_systematics
+from sxmc_tpu.stats.likelihood import LikelihoodSpace
+
+
+def _pad_to(n: int, mult: int) -> int:
+    return -(-n // mult) * mult
+
+
+def run_sharded_chain(
+    mcmc: MCMC,
+    data: np.ndarray,
+    nsteps: int,
+    burnin_fraction: float = 0.1,
+    mesh: Optional[Mesh] = None,
+    seed: int = 0,
+    debug_mode: bool = False,
+) -> LikelihoodSpace:
+    """Run one chain with MC samples + events sharded over ``event``."""
+    if mesh is None:
+        ndev = len(jax.devices())
+        mesh = Mesh(np.asarray(jax.devices()), axis_names=("event",))
+    ndev = mesh.shape["event"]
+    stack = mcmc.stack
+
+    # --- shard the MC samples (pad with out-of-domain rows). ---
+    # Host copies avoid device->host readbacks (see CLAUDE.md rule 2).
+    samples = stack.samples_host
+    seg = stack.segment_ids_host
+    n = samples.shape[0]
+    npad = _pad_to(n, ndev * 8)
+    pad_rows = np.full((npad - n, samples.shape[1]),
+                       stack.lower_host[0] - 1e9, np.float32)
+    samples_p = np.concatenate([samples, pad_rows])
+    seg_p = np.concatenate([seg, np.zeros(npad - n, np.int32)])
+
+    # --- shard the data events (pad with unknown dataset tag). ---
+    data = np.asarray(data, np.float32)
+    rb = np.asarray(stack.compute_read_bins(data))
+    nev = rb.shape[1]
+    nev_pad = _pad_to(nev, ndev * 8)
+    rb_p = np.full((rb.shape[0], nev_pad), -2, np.int32)
+    rb_p[:, :nev] = rb
+
+    burnin_steps = int(nsteps * burnin_fraction)
+    key = jax.random.PRNGKey(seed)
+
+    nsources = mcmc.nsources
+    st = mcmc.static
+    fixed = jnp.asarray(mcmc.parameter_fixed)
+    sf = HAARIO / max(mcmc.nfloat, 1)
+    syst_float = (mcmc.nsystematics > 0) and not mcmc.systematics_fixed
+    theta0_np = mcmc.parameter_means[nsources:].astype(np.float32)
+
+    nbins = stack.nbins
+    nsignals = stack.nsignals
+    total_nbins = stack.total_nbins
+    bin_volume = stack.bin_volume
+    lower = np.asarray(stack.lower_host, np.float32)
+    upper = np.asarray(stack.upper_host, np.float32)
+    systematics = stack.systematics
+
+    def local_hists(samples_l, seg_l, theta):
+        transformed = _apply_masked_systematics(
+            samples_l, seg_l, theta, systematics, nsignals)
+        hists, _ = hist_ops.segmented_histogram(
+            transformed[:, :len(nbins)], seg_l,
+            jnp.ones(samples_l.shape[0], bool),
+            jnp.asarray(lower), jnp.asarray(upper), nbins, nsignals)
+        hists = jax.lax.psum(hists, "event")
+        return hists, hists.sum(axis=1)
+
+    def sharded_nll(params, samples_l, seg_l, rb_l, hists0, norms0):
+        if syst_float:
+            hists, norms = local_hists(samples_l, seg_l,
+                                       params[nsources:])
+        else:
+            hists, norms = hists0, norms0
+        lut = jax.vmap(evalhist.eval_from_bins,
+                       in_axes=(0, 0, None, 0))(
+            hists, norms, bin_volume, rb_l)
+        w = signal_weights(params, norms, st)
+        lut0 = jnp.nan_to_num(lut, nan=0.0)
+        s = jnp.einsum("j,ji->i", w, lut0,
+                       preferred_element_type=jnp.float32)
+        local = jnp.sum(jnp.where(s > 0,
+                                  jnp.log(jnp.where(s > 0, s, 1.0)), 0.0))
+        event_sum = jax.lax.psum(local, "event")
+        total = -event_sum + jnp.sum(w)
+        constrained = st.sigmas > 0
+        z = (params - st.means) / np.where(constrained, st.sigmas, 1.0)
+        total = total + 0.5 * jnp.sum(jnp.where(constrained, z * z, 0.0))
+        bad = jnp.any(params[:nsources] < 0) | ~jnp.isfinite(event_sum)
+        return jnp.where(bad, jnp.float32(BARRIER), total)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("event"), P("event"), P(None, "event"), P()),
+        out_specs=(P(), P(), P()),
+    )
+    def run(samples_l, seg_l, rb_l, key):
+        if not syst_float:
+            hists0, norms0 = local_hists(
+                samples_l, seg_l, jnp.asarray(theta0_np))
+        else:
+            hists0 = norms0 = None
+
+        def chain_nll(params):
+            return sharded_nll(params, samples_l, seg_l, rb_l,
+                               hists0, norms0)
+
+        def step(carry, step_key):
+            params, cur_nll, width = carry
+            k_prop, k_accept = jax.random.split(step_key)
+            noise = jax.random.normal(k_prop, params.shape) * \
+                jnp.maximum(width, 0.0)
+            proposed = jnp.where(width > 0, params + noise, params)
+            prop_nll = chain_nll(proposed)
+            u = jax.random.uniform(k_accept, ())
+            accept = debug_mode | (prop_nll < cur_nll) | \
+                (u <= jnp.exp(cur_nll - prop_nll))
+            params = jnp.where(accept, proposed, params)
+            cur_nll = jnp.where(accept, prop_nll, cur_nll)
+            return ((params, cur_nll, width),
+                    (params, cur_nll, accept.astype(jnp.float32)))
+
+        def phase(carry, k, nsteps_phase):
+            return jax.lax.scan(step, carry,
+                                jax.random.split(k, nsteps_phase))
+
+        def retune(width, phase_samples):
+            rms = jnp.std(phase_samples, axis=0)
+            new = jnp.where(rms > 0, sf * rms, width)
+            return jnp.where(fixed, -1.0, new)
+
+        params0 = jnp.asarray(mcmc.parameter_means, jnp.float32)
+        nll0 = chain_nll(params0)
+        width0 = jnp.asarray(mcmc.initial_jump_widths())
+        carry = (params0, nll0, width0)
+
+        k1, k2, k3 = jax.random.split(key, 3)
+        if burnin_steps > 0:
+            carry, (s1, _, _) = phase(carry, k1, burnin_steps)
+            p, c, w = carry
+            carry = (p, c, retune(w, s1))
+            carry, (s2, _, _) = phase(carry, k2, burnin_steps)
+            p, c, w = carry
+            carry = (p, c, retune(w, s2))
+        remaining = max(
+            nsteps - (2 * burnin_steps if burnin_steps > 0 else 0), 1)
+        carry, (s3, n3, a3) = phase(carry, k3, remaining)
+        return s3, n3, a3.mean()
+
+    with mesh:
+        samples_s = jax.device_put(
+            jnp.asarray(samples_p), NamedSharding(mesh, P("event")))
+        seg_s = jax.device_put(
+            jnp.asarray(seg_p), NamedSharding(mesh, P("event")))
+        rb_s = jax.device_put(
+            jnp.asarray(rb_p), NamedSharding(mesh, P(None, "event")))
+        chain, nlls, accept = run(samples_s, seg_s, rb_s, key)
+
+    mcmc.last_accept_rate = float(np.asarray(accept))
+    return LikelihoodSpace.from_arrays(
+        np.asarray(chain), np.asarray(nlls), mcmc.parameter_names)

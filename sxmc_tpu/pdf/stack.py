@@ -70,10 +70,12 @@ class PdfStack:
         # Concatenate all signals' MC samples with a segment id, from
         # the host copies (never read device arrays back to host).
         sample_arrays = [s.histogram.samples_host for s in signals]
-        self.samples = jnp.asarray(np.concatenate(sample_arrays, axis=0))
+        self.samples_host = np.concatenate(sample_arrays, axis=0)
+        self.samples = jnp.asarray(self.samples_host)
         seg = np.concatenate([
             np.full(a.shape[0], i, np.int32)
             for i, a in enumerate(sample_arrays)])
+        self.segment_ids_host = seg
         self.segment_ids = jnp.asarray(seg)
         self.n_mc = jnp.asarray([s.n_mc for s in signals], jnp.float32)
         self.datasets = [s.dataset for s in signals]
