@@ -262,9 +262,15 @@ def _run_nuts_single(nuts: NUTS, key, read_bins, device_data, *,
         eps = jnp.exp(log_eps)
         q, U_q, a_prob = nuts_step(q, U_q, eps, inv_mass0, step_key)
         t = t + 1.0
+        # Dual averaging (Hoffman & Gelman 2014, Algorithm 5) with
+        # t0=10, kappa=0.75 and a heavily damped gamma (=1 instead of
+        # the canonical 0.05): acceptance statistics on f32
+        # histogram-LUT posteriors are noisy, and the canonical gain
+        # drives the step size into collapse.  Verified empirically
+        # (tests/test_hmc.py, test_nuts.py).
         eta = 1.0 / (t + 10.0)
         h_bar = (1.0 - eta) * h_bar + eta * (target_accept - a_prob)
-        log_eps = mu - jnp.sqrt(t) / 0.05 * h_bar / 20.0
+        log_eps = mu - jnp.sqrt(t) * h_bar
         pow_t = t ** (-0.75)
         log_eps_bar = pow_t * log_eps + (1.0 - pow_t) * log_eps_bar
         return (q, U_q, log_eps, log_eps_bar, h_bar, t), (q, a_prob)
