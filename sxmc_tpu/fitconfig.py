@@ -28,7 +28,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import re
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 from sxmc_tpu.ops import transforms
 from sxmc_tpu.signal import Observable, Signal, Source, Systematic

@@ -13,7 +13,7 @@ per-signal kernel builds would pay one compile per distinct MC size.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax
 import numpy as np

@@ -88,7 +88,6 @@ def _run_nuts_chains(nuts: NUTS, chain_keys, read_bins, device_data,
 def _run_nuts_single(nuts: NUTS, key, read_bins, device_data, *,
                      warmup: int, keep: int, max_depth: int,
                      target_accept: float):
-    from sxmc_tpu.mcmc import hmc as hmc_mod
     from sxmc_tpu.ops.nll import nll as nll_fn
 
     nsources = nuts.nsources

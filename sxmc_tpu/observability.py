@@ -12,7 +12,7 @@ import contextlib
 import json
 import os
 import time
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 

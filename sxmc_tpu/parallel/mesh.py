@@ -14,7 +14,7 @@ statistics pool with pmean/all_gather (see sxmc_tpu.parallel.ensemble).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

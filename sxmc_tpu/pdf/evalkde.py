@@ -15,8 +15,6 @@ evaluation exactly as in EvalHist.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,7 +9,7 @@ overlaid with the total and the (fake or real) data.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Dict
 
 import numpy as np
 

@@ -11,7 +11,7 @@ maps columns into the fit's sample-field layout, and owns an
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

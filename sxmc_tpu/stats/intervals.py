@@ -8,8 +8,6 @@ sample arrays instead of ROOT ntuples.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import numpy as np
 from scipy.special import erfinv
 from scipy.optimize import curve_fit

@@ -12,8 +12,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from sxmc_tpu.stats.intervals import (
-    Interval, chi2_quantile_1dof, make_error_estimator)
+from sxmc_tpu.stats.intervals import Interval, make_error_estimator
 
 
 class LikelihoodSpace:
