@@ -255,6 +255,22 @@ def bench_mcmc():
     per_batch = _slope(nll_reps(100), nll_reps(2000), 100, 2000,
                        (lut, norms))
 
+    # Chains/s scaling: vmapped Metropolis ensembles (1 vs 8 chains).
+    def chains_fn(nchains, nsteps):
+        def f(p0, nll0, w0, rb, *dd):
+            keys = jax.random.split(jax.random.PRNGKey(3), nchains)
+            run = lambda k: metropolis.run_segment(  # noqa: E731
+                mcmc, p0, nll0, w0, rb, dd, k, nsteps)[1]
+            return jax.vmap(run)(keys).sum()
+        return f
+
+    chain_rates = {}
+    for nchains in (1, 8):
+        n1, n2 = 500, 2500
+        per = _slope(chains_fn(nchains, n1), chains_fn(nchains, n2),
+                     n1, n2, (p0, nll0, w0, rb, *dd))
+        chain_rates[nchains] = nchains / per
+
     # A config/example.json-scale experiment is 100k steps
     # (reference config/example.json "nsteps": 100000).
     exp_per_hour = 3600.0 / (100_000 * per_step)
@@ -271,6 +287,12 @@ def bench_mcmc():
          "unit": "evals/s",
          "detail": f"fixed LUT, {nevents} events x 2 signals, "
                    f"batch {nbatch}"},
+        {"metric": "chain_steps_per_sec_1chain",
+         "value": chain_rates[1], "unit": "chain-steps/s",
+         "detail": "single chain"},
+        {"metric": "chain_steps_per_sec_8chains",
+         "value": chain_rates[8], "unit": "chain-steps/s",
+         "detail": "8 vmapped chains, per-chip scaling"},
     ]
 
 
