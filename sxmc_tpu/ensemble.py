@@ -120,6 +120,15 @@ def run_ensemble(
         log(ls.print_best_fit())
         log(ls.print_correlations())
 
+        # Convergence diagnostics (absent from the reference).
+        from sxmc_tpu.stats.diagnostics import summarize
+
+        diag = summarize(ls.samples, [n for n in ls.names],
+                         nchains=max(fc.nchains, 1))
+        log("-- Diagnostics --")
+        for pname, d in diag.items():
+            log(f" {pname}: ESS={d['ess']:.0f} R-hat={d['rhat']:.3f}")
+
         if fc.plots and samples_data is not None:
             try:
                 from sxmc_tpu import plots
