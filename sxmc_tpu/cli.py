@@ -28,8 +28,13 @@ def main(argv=None) -> int:
     parser.add_argument("--sharded", action="store_true",
                         help="run all fake experiments as one vmapped "
                              "batch sharded over the device mesh")
-    parser.add_argument("--sampler", choices=["metropolis", "hmc", "nuts"],
-                        default="metropolis", help="MCMC sampler")
+    parser.add_argument("--sampler",
+                        choices=["metropolis", "hmc", "nuts", "stretch",
+                                 "mle"],
+                        default="metropolis",
+                        help="MCMC sampler, or 'mle' for a gradient "
+                             "maximum-likelihood fit with profile-"
+                             "likelihood intervals")
     args = parser.parse_args(argv)
 
     if args.cpu:

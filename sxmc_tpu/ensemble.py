@@ -54,6 +54,16 @@ def run_ensemble(
 
             mcmc = NUTS(fc.sources, fc.signals, fc.systematics,
                         fc.observables)
+        elif sampler == "stretch":
+            from sxmc_tpu.mcmc.stretch import StretchSampler
+
+            mcmc = StretchSampler(fc.sources, fc.signals, fc.systematics,
+                                  fc.observables)
+        elif sampler == "mle":
+            from sxmc_tpu.stats.mle import MLE
+
+            mcmc = MLE(fc.sources, fc.signals, fc.systematics,
+                       fc.observables)
         else:
             mcmc = MCMC(fc.sources, fc.signals, fc.systematics,
                         fc.observables)
@@ -110,6 +120,13 @@ def run_ensemble(
                     chunks.append(sig.histogram.get_samples())
                 samples_data = np.concatenate(chunks, axis=0)
 
+            if sampler == "mle":
+                limit = _run_mle_experiment(
+                    mcmc, fc, samples_data, output_path, i, log)
+                if limit is not None:
+                    limits.append(limit)
+                continue
+
             ls = mcmc(samples_data, fc.nsteps, fc.burnin_fraction,
                       debug_mode=fc.debug_mode, key=exp_key,
                       nchains=fc.nchains)
@@ -151,6 +168,52 @@ def run_ensemble(
             limits.append(bfi.upper)
 
     return limits
+
+
+def _run_mle_experiment(mle, fc: FitConfig, samples_data, output_path: str,
+                        index: int, log) -> Optional[float]:
+    """One gradient-MLE experiment: fit, profile the signal, plot.
+
+    Returns the one-sided profile-likelihood upper limit on the signal
+    of interest (the quantity the ensemble medians, sxmc.cpp:110-127),
+    or None when no signal_name is configured.
+    """
+    import json
+
+    result = mle.fit(samples_data)
+    log(str(result))
+
+    best_fit = result.to_intervals(fc.confidence)
+    limit = None
+    if fc.signal_name and fc.signal_name in best_fit:
+        iv = mle.profile_interval(fc.signal_name, fc.confidence, result)
+        best_fit[fc.signal_name] = iv
+        limit = mle.upper_limit(fc.signal_name, max(fc.confidence, 0.9),
+                                result)
+        log(f"ensemble: Signal {fc.signal_name}: {iv}")
+        log(f"ensemble: Profile upper limit "
+            f"({max(fc.confidence, 0.9):.0%} CL): {limit:g}")
+
+    out = {
+        "params": {n: result.value(n) for n in result.names},
+        "errors": {n: result.error(n) for n in result.free_names},
+        "nll": result.nll,
+        "converged": result.converged,
+        "upper_limit": limit,
+    }
+    with open(os.path.join(
+            output_path, f"{fc.output_prefix}_mle_{index}.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+    if fc.plots:
+        try:
+            from sxmc_tpu import plots
+
+            plots.plot_fit(best_fit, fc, samples_data, output_path,
+                           suffix=f"_{index}")
+        except Exception as e:  # plotting must never kill the fit
+            log(f"ensemble: plotting failed: {e}")
+    return limit
 
 
 def main_fit(config_file: str, output_path: str, resume: bool = False,

@@ -1,0 +1,428 @@
+"""Gradient-based maximum-likelihood estimation.
+
+A capability tier the CUDA reference could never reach: under JAX the
+extended-ML NLL (sxmc_tpu.ops.nll, reference semantics at
+src/nll_kernels.cpp:89-188) is differentiable in the source rates, so
+the best fit comes from a jitted BFGS solve instead of a random walk —
+milliseconds instead of minutes — with
+
+  * Hessian (inverse-curvature) covariance and symmetric errors,
+  * profile-likelihood scans vmapped over the grid (every profile point
+    is an independent BFGS solve batched through one compiled kernel),
+  * MINOS-style asymmetric intervals from the profile crossings, and
+  * one-sided profile-likelihood upper limits.
+
+Source rates are optimized in log space (r = exp(q)), which enforces the
+physical boundary r >= 0 exactly where the reference relies on a 1e18
+NLL barrier (nll_kernels.cpp:173-177).  Systematic coefficients enter
+the NLL through the re-histogrammed PDFs, which are piecewise-constant
+in theta (the bin assignment is a floor), so their event-term gradient
+is zero almost everywhere; floating systematics are therefore profiled
+with a derivative-free Nelder-Mead outer loop around the jitted
+rate solve (their Gaussian constraint keeps the outer problem tame).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.special import erfinv
+
+from sxmc_tpu.mcmc.metropolis import MCMC
+from sxmc_tpu.ops.nll import nll as nll_fn
+from sxmc_tpu.stats.intervals import Interval, chi2_quantile_1dof
+
+_LOG_CLAMP = 30.0
+
+
+@dataclasses.dataclass
+class FitResult:
+    """Point estimate + curvature errors from a gradient MLE fit."""
+
+    names: List[str]
+    params: np.ndarray          # full parameter vector at the optimum
+    nll: float                  # NLL at the optimum
+    free: np.ndarray            # bool mask of optimized parameters
+    covariance: np.ndarray      # (nfree, nfree) inverse Hessian
+    converged: bool
+
+    @property
+    def free_names(self) -> List[str]:
+        return [n for n, f in zip(self.names, self.free) if f]
+
+    def value(self, name: str) -> float:
+        return float(self.params[self.names.index(name)])
+
+    def error(self, name: str) -> float:
+        """Symmetric (Hessian) error; NaN for fixed parameters."""
+        i = self.names.index(name)
+        if not self.free[i]:
+            return float("nan")
+        j = int(np.sum(self.free[:i]))
+        return float(np.sqrt(max(self.covariance[j, j], 0.0)))
+
+    def to_intervals(self, cl: float = 0.683) -> Dict[str, Interval]:
+        """Symmetric intervals, drop-in for LikelihoodSpace.get_best_fit."""
+        z = np.sqrt(chi2_quantile_1dof(cl))
+        out = {}
+        for name in self.names:
+            v = self.value(name)
+            e = self.error(name)
+            e = 0.0 if not np.isfinite(e) else e * z
+            out[name] = Interval(one_sided=False, point_estimate=v,
+                                 lower=v - e, upper=v + e, cl=cl)
+        return out
+
+    def __str__(self) -> str:
+        lines = ["-- MLE best fit --"]
+        for name in self.names:
+            v = self.value(name)
+            e = self.error(name)
+            tag = "" if np.isfinite(e) else " (fixed)"
+            etxt = f" +- {e:g}" if np.isfinite(e) else ""
+            lines.append(f" {name}: {v:g}{etxt}{tag}")
+        lines.append(f" NLL: {self.nll}")
+        if not self.converged:
+            lines.append(" WARNING: optimizer did not report convergence")
+        return "\n".join(lines)
+
+
+class MLE(MCMC):
+    """Maximum-likelihood fit driver with the MCMC's model contract.
+
+    Reuses the parameter flattening, PDF stack, and NLL statics of
+    :class:`sxmc_tpu.mcmc.metropolis.MCMC` (reference: mcmc.cpp:47-98)
+    but replaces the random walk with deterministic optimization.
+    """
+
+    def __init__(self, *args, maxiter: int = 400, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.maxiter = maxiter
+        rate_idx = np.arange(self.nsources)
+        self._free_rates = tuple(
+            int(i) for i in rate_idx[~self.parameter_fixed[:self.nsources]])
+        syst_idx = np.arange(self.nsources, self.nparameters)
+        self._float_systs = tuple(
+            int(i) for i in syst_idx
+            if not self.parameter_fixed[i])
+
+    # ------------------------------------------------------------------
+
+    def fit(self, data: np.ndarray) -> FitResult:
+        """Run the fit: rates by jitted BFGS, floating systematics by a
+        Nelder-Mead outer loop over the rate-profiled NLL."""
+        self.stack.set_data(np.asarray(data, np.float32))
+        read_bins = self.stack._read_bins
+        device_data = self.stack.device_data
+
+        theta_full = np.asarray(self.parameter_means[self.nsources:],
+                                np.float32)
+        q0 = self._initial_q()
+
+        if self._float_systs:
+            from scipy.optimize import minimize as sp_minimize
+
+            fidx = np.asarray(self._float_systs) - self.nsources
+
+            def outer(tf):
+                th = theta_full.copy()
+                th[fidx] = tf
+                _, fun, _ = self._solve(th, q0, read_bins, device_data)
+                return float(fun)
+
+            res = sp_minimize(outer, theta_full[fidx],
+                              method="Nelder-Mead",
+                              options={"maxiter": 200 * len(fidx),
+                                       "xatol": 1e-4, "fatol": 1e-4})
+            theta_full = theta_full.copy()
+            theta_full[fidx] = res.x
+        theta_hat = theta_full
+
+        qhat, fmin, ok = self._solve(theta_hat, q0, read_bins, device_data)
+        params = self._assemble(np.asarray(qhat), theta_hat)
+
+        cov = self._hessian_covariance(params, read_bins, device_data)
+        result = FitResult(
+            names=list(self.parameter_names), params=params,
+            nll=float(fmin), free=~self.parameter_fixed.copy(),
+            covariance=cov, converged=bool(ok))
+        self._last = (result, read_bins, device_data)
+        return result
+
+    # ------------------------------------------------------------------
+
+    def profile(self, name: str, values: Sequence[float],
+                result: Optional[FitResult] = None) -> np.ndarray:
+        """Profiled NLL over a grid: rates re-optimized per point
+        (vmapped BFGS — the whole scan is one batched device call).
+
+        Floating systematics other than ``name`` are held at their
+        global-fit optimum (a standard profile approximation; pass the
+        grid through :meth:`fit` per point for the exact curve).
+        """
+        result, read_bins, device_data = self._ensure_fit(result)
+        values = np.asarray(values, np.float32)
+        k = self.parameter_names.index(name)
+        theta_hat = np.asarray(result.params[self.nsources:], np.float32)
+        q_init = self._q_from_params(result.params)
+
+        if k < self.nsources:
+            free = [i for i in self._free_rates if i != k]
+            pnll = _profile_rate_grid(
+                self, jnp.asarray(values), k, tuple(free),
+                jnp.asarray(q_init), jnp.asarray(theta_hat),
+                read_bins, device_data, self.maxiter)
+            return np.asarray(pnll)
+
+        # Systematic coefficient: re-histogram per grid point (the PDF
+        # itself changes), then solve the rates.  lax.map keeps the
+        # histogram memory footprint to one grid point at a time.
+        j = k - self.nsources
+        pnll = _profile_syst_grid(
+            self, jnp.asarray(values), j, tuple(self._free_rates),
+            jnp.asarray(q_init), jnp.asarray(theta_hat),
+            read_bins, device_data, self.maxiter)
+        return np.asarray(pnll)
+
+    def profile_interval(self, name: str, cl: float = 0.683,
+                         result: Optional[FitResult] = None,
+                         ngrid: int = 41) -> Interval:
+        """MINOS-style asymmetric interval from profile crossings of
+        dNLL = chi2_quantile(cl, 1) / 2."""
+        result, _, _ = self._ensure_fit(result)
+        k = self.parameter_names.index(name)
+        vhat = result.value(name)
+        sig = result.error(name)
+        if not np.isfinite(sig) or sig <= 0:
+            sig = max(abs(vhat), 1.0) * 0.1
+        lo = vhat - 6.0 * sig
+        if k < self.nsources:
+            lo = max(lo, 0.0)
+        grid = np.linspace(lo, vhat + 6.0 * sig, ngrid, dtype=np.float32)
+        pnll = self.profile(name, grid, result)
+        target = 0.5 * chi2_quantile_1dof(cl)
+        return _interval_from_profile(grid, pnll, vhat, target, cl)
+
+    def upper_limit(self, name: str, cl: float = 0.9,
+                    result: Optional[FitResult] = None,
+                    ngrid: int = 61) -> float:
+        """One-sided profile-likelihood upper limit:
+        dNLL crossing at z(cl)^2/2 with z the one-sided normal quantile."""
+        result, _, _ = self._ensure_fit(result)
+        vhat = max(result.value(name), 0.0)
+        sig = result.error(name)
+        if not np.isfinite(sig) or sig <= 0:
+            sig = max(abs(vhat), 1.0) * 0.1
+        hi = vhat + 8.0 * sig
+        grid = np.linspace(0.0, hi, ngrid, dtype=np.float32)
+        pnll = self.profile(name, grid, result)
+        z = np.sqrt(2.0) * erfinv(2.0 * cl - 1.0)
+        target = 0.5 * z * z
+        dn = pnll - pnll.min()
+        # Walk outward from the minimum to the first upward crossing.
+        imin = int(np.argmin(pnll))
+        for i in range(imin, len(grid) - 1):
+            if dn[i] <= target <= dn[i + 1]:
+                f = (target - dn[i]) / max(dn[i + 1] - dn[i], 1e-12)
+                return float(grid[i] + f * (grid[i + 1] - grid[i]))
+        return float(grid[-1])
+
+    # ------------------------------------------------------------------
+    # internals
+
+    def _initial_q(self) -> np.ndarray:
+        r0 = np.maximum(self.parameter_means[:self.nsources], 1e-4)
+        return np.log(r0).astype(np.float32)
+
+    def _q_from_params(self, params: np.ndarray) -> np.ndarray:
+        r = np.maximum(np.asarray(params[:self.nsources]), 1e-8)
+        return np.log(r).astype(np.float32)
+
+    def _assemble(self, qhat: np.ndarray, theta: np.ndarray) -> np.ndarray:
+        params = np.concatenate([
+            np.asarray(self.parameter_means[:self.nsources], np.float32),
+            np.asarray(theta, np.float32)])
+        for i in self._free_rates:
+            params[i] = np.exp(np.clip(qhat[i], -_LOG_CLAMP, _LOG_CLAMP))
+        return params
+
+    def _solve(self, theta, q0, read_bins, device_data):
+        """Optimize the free rates at fixed systematics."""
+        qhat, fun, ok = _solve_rates(
+            self, jnp.asarray(theta, jnp.float32),
+            jnp.asarray(q0, jnp.float32), tuple(self._free_rates),
+            read_bins, device_data, self.maxiter)
+        return qhat, float(fun), bool(ok)
+
+    def _hessian_covariance(self, params, read_bins, device_data):
+        free = ~self.parameter_fixed
+        h = _free_hessian(self, jnp.asarray(params, jnp.float32),
+                          tuple(int(i) for i in np.where(free)[0]),
+                          read_bins, device_data)
+        h = np.asarray(h, np.float64)
+        try:
+            cov = np.linalg.inv(h)
+        except np.linalg.LinAlgError:
+            cov = np.linalg.pinv(h)
+        return cov
+
+    def _ensure_fit(self, result: Optional[FitResult]):
+        if not hasattr(self, "_last"):
+            raise RuntimeError("call fit() first")
+        if result is None:
+            return self._last
+        return (result,) + self._last[1:]
+
+
+def _interval_from_profile(grid: np.ndarray, pnll: np.ndarray,
+                           vhat: float, target: float,
+                           cl: float) -> Interval:
+    """Linear-interpolated dNLL crossings around the profile minimum."""
+    dn = np.asarray(pnll, np.float64)
+    dn = dn - dn.min()
+    imin = int(np.argmin(dn))
+    point = float(grid[imin])
+
+    lower = float(grid[0])
+    found_lower = False
+    for i in range(imin, 0, -1):
+        if dn[i] <= target <= dn[i - 1]:
+            f = (target - dn[i]) / max(dn[i - 1] - dn[i], 1e-12)
+            lower = float(grid[i] + f * (grid[i - 1] - grid[i]))
+            found_lower = True
+            break
+    upper = float(grid[-1])
+    for i in range(imin, len(grid) - 1):
+        if dn[i] <= target <= dn[i + 1]:
+            f = (target - dn[i]) / max(dn[i + 1] - dn[i], 1e-12)
+            upper = float(grid[i] + f * (grid[i + 1] - grid[i]))
+            break
+
+    one_sided = not found_lower and grid[0] <= 0.0 <= grid[-1]
+    return Interval(one_sided=one_sided, point_estimate=point,
+                    lower=lower, upper=upper, cl=cl)
+
+
+# ----------------------------------------------------------------------
+# jitted kernels
+
+
+def _rate_objective(mle: MLE, theta, lut, norms, free_idx):
+    """q_free -> NLL with rates r = exp(q) scattered at free_idx."""
+    base = jnp.concatenate([
+        jnp.asarray(mle.parameter_means[:mle.nsources], jnp.float32),
+        theta])
+    idx = jnp.asarray(free_idx, jnp.int32)
+
+    def fun(qf):
+        r = jnp.exp(jnp.clip(qf, -_LOG_CLAMP, _LOG_CLAMP))
+        params = base.at[idx].set(r) if len(free_idx) else base
+        return nll_fn(params, lut, norms, mle.static)
+
+    return fun
+
+
+def _bfgs(fun, x0, maxiter):
+    from jax.scipy.optimize import minimize
+
+    res = minimize(fun, x0, method="BFGS",
+                   options={"maxiter": maxiter, "gtol": 1e-4})
+    # BFGS's own success flag is too strict in f32 (the final line search
+    # often "fails" at machine precision); judge convergence from the
+    # actual gradient, which for dNLL/d(log r) is in event units.
+    gnorm = jnp.max(jnp.abs(jax.grad(fun)(res.x)))
+    return res.x, res.fun, res.success | (gnorm < 0.05)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mle", "free_idx", "maxiter"))
+def _solve_rates(mle: MLE, theta, q0, free_idx, read_bins, device_data,
+                 maxiter: int):
+    lut, norms = mle.stack.evaluate(theta, read_bins, device_data)
+    fun = _rate_objective(mle, theta, lut, norms, free_idx)
+    if not free_idx:
+        return q0, fun(jnp.zeros((0,), jnp.float32)), jnp.bool_(True)
+    x0 = q0[jnp.asarray(free_idx, jnp.int32)]
+    x, f, ok = _bfgs(fun, x0, maxiter)
+    qhat = q0.at[jnp.asarray(free_idx, jnp.int32)].set(x)
+    return qhat, f, ok
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mle", "k", "free_idx", "maxiter"))
+def _profile_rate_grid(mle: MLE, values, k: int, free_idx, q_init, theta,
+                       read_bins, device_data, maxiter: int):
+    """Profiled NLL over a grid of one rate: vmapped BFGS solves."""
+    lut, norms = mle.stack.evaluate(theta, read_bins, device_data)
+    base = jnp.concatenate([
+        jnp.asarray(mle.parameter_means[:mle.nsources], jnp.float32),
+        theta])
+
+    def one(v):
+        pinned = base.at[k].set(v)
+
+        def fun(qf):
+            r = jnp.exp(jnp.clip(qf, -_LOG_CLAMP, _LOG_CLAMP))
+            params = (pinned.at[jnp.asarray(free_idx, jnp.int32)].set(r)
+                      if free_idx else pinned)
+            return nll_fn(params, lut, norms, mle.static)
+
+        if not free_idx:
+            return fun(jnp.zeros((0,), jnp.float32))
+        x0 = q_init[jnp.asarray(free_idx, jnp.int32)]
+        _, f, _ = _bfgs(fun, x0, maxiter)
+        return f
+
+    return jax.vmap(one)(values)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mle", "j", "free_idx", "maxiter"))
+def _profile_syst_grid(mle: MLE, values, j: int, free_idx, q_init, theta,
+                       read_bins, device_data, maxiter: int):
+    """Profiled NLL over a systematic-coefficient grid.
+
+    Each point re-histograms every PDF (the hot operation,
+    mcmc.cpp:264-271); lax.map holds one grid point in memory at a time.
+    """
+
+    def one(v):
+        th = theta.at[j].set(v)
+        lut, norms = mle.stack.evaluate(th, read_bins, device_data)
+        fun = _rate_objective(mle, th, lut, norms, free_idx)
+        if not free_idx:
+            return fun(jnp.zeros((0,), jnp.float32))
+        x0 = q_init[jnp.asarray(free_idx, jnp.int32)]
+        _, f, _ = _bfgs(fun, x0, maxiter)
+        return f
+
+    return jax.lax.map(one, values)
+
+
+@functools.partial(jax.jit, static_argnames=("mle", "free_idx"))
+def _free_hessian(mle: MLE, params, free_idx, read_bins, device_data):
+    """Hessian of the NLL over the free parameters, in natural units.
+
+    Rates contribute their smooth event-term curvature; floating
+    systematic coefficients are piecewise-constant in the event term so
+    only their Gaussian-constraint curvature 1/sigma^2 appears — the
+    conditional (constraint-dominated) error, consistent with how the
+    reference's random walk explores them.
+    """
+    idx = jnp.asarray(free_idx, jnp.int32)
+    # Histograms evaluated once at the optimum: exact for the rates, and
+    # the almost-everywhere-correct choice for systematic coefficients
+    # (their event term is locally flat in theta).
+    lut0, norms0 = mle.stack.evaluate(params[mle.nsources:], read_bins,
+                                      device_data)
+
+    def fun(x):
+        p = params.at[idx].set(x)
+        return nll_fn(p, lut0, norms0, mle.static)
+
+    return jax.hessian(fun)(params[idx])

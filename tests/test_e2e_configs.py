@@ -194,3 +194,35 @@ class TestHMCSamplerCLI:
         assert main([str(cfg), str(tmp_path / "out"),
                      "--sampler", "hmc"]) == 0
         assert (tmp_path / "out" / "lspace_0.hdf5").exists()
+
+
+class TestMLESamplerCLI:
+    def test_cli_mle(self, mc_2d, tmp_path, capsys):
+        conf = config_2d(mc_2d, confidence=0.683)
+        cfg = tmp_path / "fit.json"
+        cfg.write_text(json.dumps(conf))
+        from sxmc_tpu.cli import main
+
+        assert main([str(cfg), str(tmp_path / "out"),
+                     "--sampler", "mle"]) == 0
+        out = capsys.readouterr().out
+        assert "MLE best fit" in out
+        assert "Profile upper limit" in out
+        mle_json = tmp_path / "out" / "lspace_mle_0.json"
+        assert mle_json.exists()
+        res = json.loads(mle_json.read_text())
+        assert abs(res["params"]["sig"] - 1.0) < 0.3
+        assert res["converged"]
+        assert res["upper_limit"] > res["params"]["sig"]
+
+
+class TestStretchSamplerCLI:
+    def test_cli_stretch(self, mc_2d, tmp_path):
+        conf = config_2d(mc_2d, nsteps=800, burnin_fraction=0.3)
+        cfg = tmp_path / "fit.json"
+        cfg.write_text(json.dumps(conf))
+        from sxmc_tpu.cli import main
+
+        assert main([str(cfg), str(tmp_path / "out"),
+                     "--sampler", "stretch"]) == 0
+        assert (tmp_path / "out" / "lspace_0.hdf5").exists()

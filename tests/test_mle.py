@@ -1,0 +1,154 @@
+"""Gradient MLE: closed-form recovery, Hessian errors, profiles, limits.
+
+The reference has no optimizer at all (best fit = min-NLL MCMC sample,
+likelihood.cpp:104-137); these tests validate the gradient tier against
+exact Poisson counting results and against the samplers.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from sxmc_tpu.generator import make_fake_dataset
+from sxmc_tpu.signal import Observable, Signal, Source, Systematic
+from sxmc_tpu.stats.mle import MLE
+
+from test_mcmc import make_fixture
+
+
+def make_counting_fixture(nevents=400, nexpected=500.0):
+    """One flat-PDF signal: a pure Poisson counting experiment.
+
+    NLL(r) = r*E - n*log(r*E*p) + const with p the flat density, so
+    r_hat = n/E exactly and sigma_r = r_hat/sqrt(n).
+    """
+    rng = np.random.default_rng(7)
+    obs = Observable(name="x", field="x", bins=10, lower=0.0, upper=1.0,
+                     field_index=0)
+    mc = rng.uniform(0, 1, (50000, 1)).astype(np.float32)
+    src = Source(name="sig", index=0, mean=1.0, sigma=0.0)
+    sig = Signal.from_table("sig", "Signal", mc, ["x"], 0, src,
+                            nexpected, ["x", "DATASET"], [obs], [], [])
+    data = np.stack([rng.uniform(0, 1, nevents).astype(np.float32),
+                     np.zeros(nevents, np.float32)], axis=1)
+    return obs, [src], [sig], data
+
+
+class TestCountingClosedForm:
+    def test_rate_and_error(self):
+        obs, sources, signals, data = make_counting_fixture()
+        mle = MLE(sources, signals, [], [obs])
+        res = mle.fit(data)
+        n, e = len(data), signals[0].nexpected
+        # Efficiency: all 50k MC samples in-domain -> eff = 1.
+        rhat = n / e
+        assert res.converged
+        assert abs(res.value("sig") - rhat) < 1e-3 * rhat, res
+        sigma = rhat / np.sqrt(n)
+        assert abs(res.error("sig") - sigma) < 0.05 * sigma, res
+
+    def test_profile_matches_hessian(self):
+        obs, sources, signals, data = make_counting_fixture()
+        mle = MLE(sources, signals, [], [obs])
+        res = mle.fit(data)
+        iv = mle.profile_interval("sig", cl=0.683)
+        # Poisson with n=400 is very Gaussian: MINOS ~ Hessian.
+        e = res.error("sig")
+        assert abs((iv.upper - iv.point_estimate) - e) < 0.15 * e
+        assert abs((iv.point_estimate - iv.lower) - e) < 0.15 * e
+        assert abs(iv.point_estimate - res.value("sig")) < 0.2 * e
+
+    def test_profile_curve_is_parabola(self):
+        obs, sources, signals, data = make_counting_fixture()
+        mle = MLE(sources, signals, [], [obs])
+        res = mle.fit(data)
+        rhat, e = res.value("sig"), res.error("sig")
+        grid = np.linspace(rhat - 2 * e, rhat + 2 * e, 9)
+        pnll = mle.profile("sig", grid)
+        dn = pnll - pnll.min()
+        expect = 0.5 * ((grid - rhat) / e) ** 2
+        assert np.all(np.abs(dn - expect) < 0.2 + 0.1 * expect)
+
+
+class TestTwoSignal:
+    def test_matches_sampler(self):
+        obs, systs, sources, signals = make_fixture()
+        data = make_fake_dataset(jax.random.PRNGKey(4), signals, systs,
+                                 [obs], poisson=False)
+        mle = MLE(sources, signals, systs, [obs])
+        res = mle.fit(data)
+        assert res.converged
+        assert abs(res.value("sig") - 1.0) < 0.3
+        assert abs(res.value("bkg") - 1.0) < 0.2
+        # Errors in the plausible statistical range.
+        assert 0.02 < res.error("sig") < 0.5
+        assert 0.01 < res.error("bkg") < 0.3
+
+    def test_fixed_parameter_pinned(self):
+        obs, systs, sources, signals = make_fixture()
+        sources[1].fixed = True
+        data = make_fake_dataset(jax.random.PRNGKey(4), signals, systs,
+                                 [obs], poisson=False)
+        mle = MLE(sources, signals, systs, [obs])
+        res = mle.fit(data)
+        assert res.value("bkg") == 1.0
+        assert not np.isfinite(res.error("bkg"))
+
+    def test_intervals_export(self):
+        obs, systs, sources, signals = make_fixture()
+        data = make_fake_dataset(jax.random.PRNGKey(4), signals, systs,
+                                 [obs], poisson=False)
+        mle = MLE(sources, signals, systs, [obs])
+        res = mle.fit(data)
+        ivs = res.to_intervals(cl=0.683)
+        assert set(ivs) == {"sig", "bkg"}
+        assert ivs["sig"].lower < res.value("sig") < ivs["sig"].upper
+        assert "+-" in str(res) or "+" in str(res)
+
+
+class TestFloatingSystematic:
+    def test_shift_profiled(self):
+        obs, systs, sources, signals = make_fixture(with_systematic=True)
+        data = make_fake_dataset(jax.random.PRNGKey(4), signals, systs,
+                                 [obs], poisson=False)
+        mle = MLE(sources, signals, systs, [obs])
+        res = mle.fit(data)
+        assert res.converged
+        # Truth shift is 0, constrained at 0 +- 0.05.
+        assert abs(res.value("energy_shift_0")) < 0.1
+        assert abs(res.value("sig") - 1.0) < 0.3
+        # Profile over the systematic grid runs and is minimized near 0.
+        grid = np.linspace(-0.1, 0.1, 11)
+        pnll = mle.profile("energy_shift_0", grid, res)
+        assert np.isfinite(pnll).all()
+        assert abs(grid[int(np.argmin(pnll))]) <= 0.06
+
+
+class TestUpperLimit:
+    def test_null_signal_limit(self):
+        """Background-only data: signal MLE ~ 0, finite upper limit."""
+        rng = np.random.default_rng(11)
+        obs = Observable(name="energy", field="energy", bins=20,
+                         lower=5.0, upper=15.0, field_index=0)
+        sig_mc = rng.normal(10, 1, (20000, 1)).astype(np.float32)
+        bkg_mc = rng.uniform(5, 15, (20000, 1)).astype(np.float32)
+        src_s = Source(name="sig", index=0, mean=0.5, sigma=0.0)
+        src_b = Source(name="bkg", index=1, mean=1.0, sigma=0.1)
+        fields = ["energy", "DATASET"]
+        sig = Signal.from_table("sig", "S", sig_mc, ["energy"], 0, src_s,
+                                100.0, fields, [obs], [], [])
+        bkg = Signal.from_table("bkg", "B", bkg_mc, ["energy"], 0, src_b,
+                                400.0, fields, [obs], [], [])
+        # Data drawn from background only.
+        n = 400
+        data = np.stack([
+            rng.uniform(5, 15, n).astype(np.float32),
+            np.zeros(n, np.float32)], axis=1)
+        mle = MLE([src_s, src_b], [sig, bkg], [], [obs])
+        res = mle.fit(data)
+        assert res.value("sig") < 0.2
+        ul = mle.upper_limit("sig", cl=0.9)
+        assert 0.0 < ul < 1.0
+        # Tighter CL -> tighter limit.
+        ul68 = mle.upper_limit("sig", cl=0.68)
+        assert ul68 < ul
