@@ -296,9 +296,74 @@ def bench_mcmc():
     ]
 
 
+def bench_mle():
+    """Batched gradient-MLE toy fits/s (the Feldman-Cousins inner loop).
+
+    Each "fit" is a full BFGS solve of the 2-rate extended-ML problem
+    on its own toy dataset; a batch of toys is one vmapped device call
+    (sxmc_tpu.stats.mle / stats.feldman_cousins).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sxmc_tpu.generator import make_fake_dataset_batch
+    from sxmc_tpu.ops.nll import nll as nll_fn
+    from sxmc_tpu.signal import Observable, Signal, Source
+    from sxmc_tpu.stats.mle import MLE, _bfgs
+
+    rng = np.random.default_rng(5)
+    obs = Observable(name="energy", field="energy", bins=100, lower=5.0,
+                     upper=15.0, field_index=0)
+    sample_fields = ["energy", "DATASET"]
+    sig_mc = rng.normal(10, 1, (200_000, 1)).astype(np.float32)
+    bkg_mc = rng.uniform(5, 15, (200_000, 1)).astype(np.float32)
+    src_s = Source(name="sig", index=0, mean=1.0)
+    src_b = Source(name="bkg", index=1, mean=1.0, sigma=0.1)
+    sig = Signal.from_table("sig", "s", sig_mc, ["energy"], 0, src_s,
+                            1000.0, sample_fields, [obs], [], [])
+    bkg = Signal.from_table("bkg", "b", bkg_mc, ["energy"], 0, src_b,
+                            2000.0, sample_fields, [obs], [], [])
+    mle = MLE([src_s, src_b], [sig, bkg], [], [obs])
+
+    ntoys = 256
+    batch = make_fake_dataset_batch(
+        jax.random.PRNGKey(2), [sig, bkg], [], [obs], ntoys)
+    rb = jnp.asarray(np.asarray(mle.stack.compute_read_bins(batch)))
+    dd = mle.stack.device_data
+    theta = jnp.zeros(0, jnp.float32)
+    x0 = jnp.zeros(2, jnp.float32)  # log-rates at the truth
+
+    def reps_fn(nreps):
+        @jax.jit
+        def f(rb, *dd):
+            def one(rb1, jit_x0):
+                lut, norms = mle.stack.evaluate(theta, rb1, dd)
+
+                def fun(qf):
+                    pars = jnp.exp(jnp.clip(qf, -30.0, 30.0))
+                    return nll_fn(pars, lut, norms, mle.static)
+
+                _, fmin, _ = _bfgs(fun, jit_x0, 100)
+                return fmin
+
+            def body(i, acc):
+                xi = x0 + 1e-6 * i
+                return acc + jax.vmap(one, in_axes=(0, None))(rb, xi).sum()
+
+            return jax.lax.fori_loop(0, nreps, body, jnp.float32(0))
+        return f
+
+    n1, n2 = 2, 10
+    per_rep = _slope(reps_fn(n1), reps_fn(n2), n1, n2, (rb, *dd))
+    return {"metric": "mle_toy_fits_per_sec",
+            "value": ntoys / per_rep, "unit": "fits/s",
+            "detail": f"batched BFGS, {ntoys} toys/batch, ~3000 events "
+                      f"each, {per_rep*1e3:.2f} ms/batch"}
+
+
 def suite():
     """Full benchmark suite; extra metrics -> BENCH_extra.json."""
-    extras = [bench_group()] + bench_mcmc()
+    extras = [bench_group()] + bench_mcmc() + [bench_mle()]
     with open("BENCH_extra.json", "w") as f:
         json.dump(extras, f, indent=2)
     for m in extras:

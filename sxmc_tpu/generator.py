@@ -88,6 +88,105 @@ def sample_from_counts(
     return events
 
 
+def _bounded_probs(counts, nbins, lower, upper, uppers, lowers):
+    """Bin probabilities with out-of-bounds bins zeroed (the host-side
+    equivalent of the reference's rejection loop, pdfz.cpp:853-914)."""
+    probs = np.asarray(counts, np.float64).reshape(-1).copy()
+    if uppers is not None and len(np.atleast_1d(uppers)):
+        strides = hist_ops.bin_strides(nbins)
+        lower = np.asarray(lower, np.float64)
+        upper = np.asarray(upper, np.float64)
+        widths = (upper - lower) / np.asarray(nbins, np.float64)
+        uppers = np.atleast_1d(np.asarray(uppers, np.float64))
+        lowers = np.atleast_1d(np.asarray(lowers, np.float64))
+        flat = np.arange(probs.shape[0])
+        ok = np.ones(probs.shape[0], bool)
+        for i, (st, nb) in enumerate(zip(strides, nbins)):
+            axis_idx = (flat // st) % nb
+            lo_edge = lower[i] + axis_idx * widths[i]
+            hi_edge = lo_edge + widths[i]
+            ok &= (hi_edge > lowers[i]) & (lo_edge < uppers[i])
+        probs = np.where(ok, probs, 0.0)
+    total = probs.sum()
+    return probs / total if total > 0 else probs
+
+
+def make_fake_dataset_batch(
+    key,
+    signals: Sequence[Signal],
+    systematics: Sequence[Systematic],
+    observables: Sequence[Observable],
+    ntoys: int,
+    poisson: bool = True,
+    stack=None,
+    rates=None,
+) -> np.ndarray:
+    """Generate ``ntoys`` fake datasets as one padded batch.
+
+    The serial generator costs a few device dispatches PER TOY; here the
+    Poisson draws, bin choices, and within-bin positions for all toys of
+    a signal are single batched ``jax.random`` calls — the toy-MC
+    front-end for belt constructions and vmapped ensembles.
+
+    Returns ``(ntoys, nev_max, nobs + 1)`` float32 where padding rows
+    carry dataset tag -1 (the unknown-dataset sentinel that is provably
+    invisible to the NLL).
+    """
+    nobs = len(observables)
+    if not signals:
+        return np.zeros((ntoys, 0, nobs + 1), np.float32)
+
+    if stack is None:
+        from sxmc_tpu.pdf.stack import PdfStack
+
+        stack = PdfStack(signals, observables, systematics)
+
+    theta = nominal_params(systematics)
+    hists, norms = stack.histograms(theta)
+    hists = np.asarray(hists)
+    norms = np.asarray(norms)
+
+    uppers = [o.upper for o in observables]
+    lowers = [o.lower for o in observables]
+    strides = hist_ops.bin_strides(stack.nbins)
+    lo = np.asarray(stack.lower_host, np.float64)
+    hi = np.asarray(stack.upper_host, np.float64)
+    widths = (hi - lo) / np.asarray(stack.nbins, np.float64)
+
+    chunks = []
+    keys = jax.random.split(key, len(signals))
+    for i, (sig, k) in enumerate(zip(signals, keys)):
+        eff = float(norms[i]) / sig.n_mc
+        rate = 1.0 if rates is None else float(rates.get(sig.name, 1.0))
+        mu = rate * sig.nexpected * eff
+        probs = _bounded_probs(hists[i], stack.nbins, lo, hi,
+                               uppers, lowers)
+        k_n, k_bin, k_pos = jax.random.split(jax.numpy.asarray(k), 3)
+        if poisson:
+            n = np.asarray(jax.random.poisson(k_n, mu, (ntoys,)))
+        else:
+            n = np.full(ntoys, int(np.floor(mu + 0.5)))
+        nmax = max(int(n.max()), 1)
+        if probs.sum() <= 0:
+            continue
+        logits = jax.numpy.log(jax.numpy.asarray(
+            np.maximum(probs, 1e-300)))
+        bin_idx = np.asarray(jax.random.categorical(
+            k_bin, logits, shape=(ntoys, nmax)))
+        u = np.asarray(jax.random.uniform(k_pos, (ntoys, nmax, nobs)),
+                       np.float64)
+        ev = np.empty((ntoys, nmax, nobs + 1), np.float32)
+        for a, (st, nb) in enumerate(zip(strides, stack.nbins)):
+            axis_idx = (bin_idx // st) % nb
+            ev[..., a] = lo[a] + (axis_idx + u[..., a]) * widths[a]
+        valid = np.arange(nmax)[None, :] < n[:, None]
+        ev[..., nobs] = np.where(valid, float(sig.dataset), -1.0)
+        chunks.append(ev)
+
+    return np.concatenate(chunks, axis=1) if chunks else \
+        np.zeros((ntoys, 0, nobs + 1), np.float32)
+
+
 def make_fake_dataset(
     key,
     signals: Sequence[Signal],
@@ -96,11 +195,15 @@ def make_fake_dataset(
     poisson: bool = True,
     verbose: bool = False,
     stack=None,
+    rates=None,
 ) -> np.ndarray:
     """Generate one fake dataset (reference: generator.cpp:9-48).
 
     Returns ``(nevents, nobservables + 1)`` float32 with dataset tags.
     Pass the fit's PdfStack as ``stack`` to reuse its compiled kernels.
+    ``rates`` optionally maps signal names to rate multipliers on the
+    expected count (used by toy-MC constructions, e.g. Feldman-Cousins
+    belts, to inject a chosen true signal rate).
     """
     if not signals:
         return np.zeros((0, len(observables) + 1), np.float32)
@@ -122,7 +225,8 @@ def make_fake_dataset(
     keys = jax.random.split(key, len(signals))
     for i, (sig, k) in enumerate(zip(signals, keys)):
         eff = float(norms[i]) / sig.n_mc
-        nevents = sig.nexpected * eff
+        rate = 1.0 if rates is None else float(rates.get(sig.name, 1.0))
+        nevents = rate * sig.nexpected * eff
         events = sample_from_counts(
             k, hists[i], stack.nbins, stack.lower_host, stack.upper_host,
             nevents, uppers=uppers, lowers=lowers, poisson=poisson,

@@ -53,6 +53,10 @@ class MCMC:
     ):
         self.nsources = len(sources)
         self.nsignals = len(signals)
+        self.sources = list(sources)
+        self.signals = list(signals)
+        self.systematics = list(systematics)
+        self.observables = list(observables)
 
         npars_syst = sum(s.npars for s in systematics)
         self.nparameters = self.nsources + npars_syst

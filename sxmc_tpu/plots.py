@@ -32,6 +32,7 @@ def plot_fit(
     data: np.ndarray,
     output_path: str,
     suffix: str = "",
+    formats: tuple = ("png",),
 ) -> None:
     """Make stacked spectral plots for every (dataset, observable).
 
@@ -40,6 +41,9 @@ def plot_fit(
         fc: the FitConfig.
         data: ``(nevents, nobs + 1)`` dataset with tags.
         output_path: directory for output images.
+        formats: output file formats (the reference saves
+            .pdf/.png/.tex/.C/.root, plots.cpp:130-140; matplotlib
+            covers png/pdf/svg/eps).
     """
     os.makedirs(output_path, exist_ok=True)
     data = np.asarray(data)
@@ -102,7 +106,8 @@ def plot_fit(
                 ax.set_ylim(obs.yrange)
             ax.legend(fontsize=8)
             fig.tight_layout()
-            out = os.path.join(
-                output_path, f"fit_ds{dataset}_{obs.name}{suffix}.png")
-            fig.savefig(out, dpi=120)
+            stem = os.path.join(
+                output_path, f"fit_ds{dataset}_{obs.name}{suffix}")
+            for fmt in formats:
+                fig.savefig(f"{stem}.{fmt}", dpi=120)
             plt.close(fig)
