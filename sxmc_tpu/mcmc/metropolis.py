@@ -134,12 +134,17 @@ class MCMC:
         seed: int = 0,
         nchains: int = 1,
         key: Optional[jax.Array] = None,
+        pool_adaptation: bool = False,
     ) -> LikelihoodSpace:
         """Run the random walk; returns the likelihood space.
 
         ``data`` is ``(nevents, nobservables + 1)`` with dataset tags.
         With ``nchains > 1`` independent chains run vmapped and their
-        post-burn-in samples are pooled.
+        post-burn-in samples are pooled.  ``pool_adaptation`` pools the
+        burn-in jump-width retuning statistics ACROSS chains (the
+        cross-chain ``pmean`` pattern of SURVEY.md section 5): every
+        chain then walks with identical, better-estimated widths, at the
+        price of a barrier between burn-in phases.
         """
         self.stack.set_data(np.asarray(data, np.float32))
         burnin_steps = int(nsteps * burnin_fraction)
@@ -148,7 +153,9 @@ class MCMC:
             key = jax.random.PRNGKey(seed)
         chain_keys = jax.random.split(key, nchains)
 
-        samples, nlls, accept_rate = _run_chains(
+        runner = _run_chains_pooled if (pool_adaptation and nchains > 1) \
+            else _run_chains
+        samples, nlls, accept_rate = runner(
             self, chain_keys, self.stack._read_bins,
             self.stack.device_data, nsteps, burnin_steps, debug_mode)
 
@@ -263,6 +270,62 @@ def _run_chains(mcmc: MCMC, chain_keys, read_bins, device_data,
                             debug_mode=debug_mode)
     return jax.vmap(run, in_axes=(0, None, None))(
         chain_keys, read_bins, device_data)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mcmc", "nsteps", "burnin_steps", "debug_mode"))
+def _run_chains_pooled(mcmc: MCMC, chain_keys, read_bins, device_data,
+                       nsteps: int, burnin_steps: int, debug_mode: bool):
+    """Vmapped chains with jump widths retuned from the POOLED burn-in
+    sample RMS of all chains (cross-chain adaptation, SURVEY.md sec. 5).
+
+    On a chain-sharded mesh the ``phase_samples.std`` below lowers to an
+    all-reduce over the chain axis — the pmean/allgather pattern.
+    """
+    nchains = chain_keys.shape[0]
+
+    def phase(carry_batch, keys, n):
+        def one(carry, k):
+            step = _make_step(mcmc, read_bins, device_data, debug_mode)
+            return jax.lax.scan(step, carry, jax.random.split(k, n))
+
+        return jax.vmap(one)(carry_batch, keys)
+
+    def init(_k):
+        return initial_state(mcmc, read_bins, device_data)
+
+    carry = jax.vmap(init)(chain_keys)
+    # Independent per-chain phase keys derived from each chain's key.
+    keys3 = jax.vmap(lambda k: jax.random.split(k, 3))(chain_keys)
+
+    outs = []
+    if burnin_steps > 0:
+        carry, (s1, n1, a1) = phase(carry, keys3[:, 0], burnin_steps)
+        p, c, w = carry
+        # Pool the RMS over (chain, step) — the better estimate every
+        # chain shares.
+        pooled = s1.reshape(-1, s1.shape[-1])
+        w_new = retune_width(mcmc, w[0], pooled)
+        carry = (p, c, jnp.broadcast_to(w_new, w.shape))
+        carry, (s2, n2, a2) = phase(carry, keys3[:, 1], burnin_steps)
+        p, c, w = carry
+        pooled = s2.reshape(-1, s2.shape[-1])
+        w_new = retune_width(mcmc, w[0], pooled)
+        carry = (p, c, jnp.broadcast_to(w_new, w.shape))
+        if debug_mode:
+            outs += [(s1, n1, a1), (s2, n2, a2)]
+
+    remaining = max(nsteps - (2 * burnin_steps if burnin_steps > 0
+                              else 0), 0)
+    if remaining > 0:
+        carry, (s3, n3, a3) = phase(carry, keys3[:, 2], remaining)
+        outs.append((s3, n3, a3))
+
+    samples = jnp.concatenate([o[0] for o in outs], axis=1)
+    nlls = jnp.concatenate([o[1] for o in outs], axis=1)
+    accepts = jnp.concatenate([o[2] for o in outs], axis=1)
+    return samples, nlls, accepts.mean(axis=1)
 
 
 def run_experiment_batch(mcmc: MCMC, keys, read_bins_batch,

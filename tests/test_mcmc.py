@@ -115,3 +115,32 @@ class TestMetropolis:
         assert np.isfinite(v)
         # Barrier at negative rate.
         assert mcmc.nll(data, [-1.0, 1.0]) == float(np.float32(1e18))
+
+
+class TestPooledAdaptation:
+    def test_pooled_widths_recover_posterior(self):
+        obs, systs, sources, signals = make_fixture()
+        data = make_fake_dataset(jax.random.PRNGKey(4), signals, systs,
+                                 [obs], poisson=False)
+        mcmc = MCMC(sources, signals, systs, [obs])
+        ls = mcmc(data, nsteps=6000, burnin_fraction=0.2, seed=5,
+                  nchains=4, pool_adaptation=True)
+        bf = ls.get_best_fit()
+        assert abs(bf["sig"].point_estimate - 1.0) < 0.3
+        assert abs(bf["bkg"].point_estimate - 1.0) < 0.2
+        # 4 chains x (6000 - 2*1200) kept steps pooled.
+        assert ls.samples.shape[0] == 4 * (6000 - 2400)
+        assert 0.05 < mcmc.last_accept_rate < 0.9
+
+    def test_pooled_matches_independent_statistics(self):
+        obs, systs, sources, signals = make_fixture()
+        data = make_fake_dataset(jax.random.PRNGKey(4), signals, systs,
+                                 [obs], poisson=False)
+        mcmc = MCMC(sources, signals, systs, [obs])
+        ls_pool = mcmc(data, nsteps=8000, burnin_fraction=0.2, seed=5,
+                       nchains=4, pool_adaptation=True)
+        ls_ind = mcmc(data, nsteps=8000, burnin_fraction=0.2, seed=5,
+                      nchains=4)
+        sp = ls_pool.column("sig").std()
+        si = ls_ind.column("sig").std()
+        assert abs(sp - si) < 0.5 * si, (sp, si)
