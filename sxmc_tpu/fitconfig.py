@@ -195,7 +195,9 @@ class FitConfig:
                 dataset=dataset, source=source, nexpected=nexpected,
                 sample_fields=fc.sample_fields,
                 observables=fc.observables, cuts=fc.cuts,
-                systematics=systs))
+                systematics=systs,
+                kde=bool(conf.get("kde", False)),
+                bandwidth_scale=conf.get("bandwidth_scale")))
 
         fc.datasets = sorted(datasets)
 

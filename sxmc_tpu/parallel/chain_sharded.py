@@ -53,6 +53,10 @@ def run_sharded_chain(
         mesh = Mesh(np.asarray(jax.devices()), axis_names=("event",))
     ndev = mesh.shape["event"]
     stack = mcmc.stack
+    if getattr(stack, "has_kde", False):
+        raise NotImplementedError(
+            "Event-sharded chains support binned PDFs only; KDE signals "
+            "evaluate on the replicated path.")
 
     # --- shard the MC samples (pad with out-of-domain rows). ---
     # Host copies avoid device->host readbacks (see CLAUDE.md rule 2).

@@ -36,8 +36,12 @@ class EvalKDE(EvalHist):
     def __init__(self, samples, nfields, nobservables, lower, upper,
                  bandwidth_scale=None, dataset=0, weights=None,
                  nbins=None):
-        # Internal binning only used for random_sample()/density export.
+        # Internal binning used for random_sample()/density export and
+        # for the grid representation that lets a KDE signal join a
+        # binned fit (see histogram()).
         nbins = nbins or [64] * nobservables
+        if weights is not None:
+            raise PdfError("EvalKDE does not support weighted samples.")
         super().__init__(samples, nfields, nobservables, lower, upper,
                          nbins, dataset=dataset, weights=weights)
         if bandwidth_scale is None:
@@ -47,6 +51,36 @@ class EvalKDE(EvalHist):
                 "bandwidth_scale size must equal number of observables.")
         self.bandwidth_scale = jnp.asarray(bandwidth_scale, jnp.float32)
         self.use_pallas = False  # KDE path is jnp/einsum
+        self._centers_pts = _bin_center_points(
+            self.lower_host, self.upper_host, self.nbins, dataset)
+
+    def histogram(self, params=None, samples=None):
+        """KDE pseudo-counts on the bin grid + exact in-domain norm.
+
+        Returns counts such that ``counts[b] / (norm * bin_volume)`` is
+        the KDE density at bin b's center — the same contract as
+        EvalHist.histogram, so a KDE signal drops into the binned LUT
+        machinery (PdfStack, generator, plots) unchanged, with the
+        KDE's smoothness baked into the bin contents.
+
+        ``samples`` optionally supplies the MC array as an explicit jit
+        argument (PdfStack threads it through device_data so it is
+        never a closure constant).
+        """
+        if params is None:
+            params = jnp.zeros((max((max(d.par_indices) + 1 for d in
+                                     self.systematics), default=0),),
+                               jnp.float32)
+        params = jnp.asarray(params, jnp.float32)
+        if params.ndim == 0:
+            params = params[None]
+        if samples is None:
+            samples = self.samples
+        dens, norm = _kde_eval(
+            samples, jnp.asarray(self._centers_pts), params,
+            self.lower, self.upper, self.bandwidth_scale,
+            self.nobservables, self.systematics, self.dataset)
+        return dens * (self.bin_volume * norm), norm
 
     def _bandwidths(self, obs: jnp.ndarray) -> jnp.ndarray:
         """Scott's rule: h_i = sigma_i * n^(-1/(d+4)) * scale."""
@@ -70,6 +104,26 @@ class EvalKDE(EvalHist):
     def eval(self, read_bins, params=None):
         raise NotImplementedError(
             "EvalKDE evaluates points directly; use eval_points().")
+
+
+def _bin_center_points(lower, upper, nbins, dataset) -> np.ndarray:
+    """Bin centers in flat row-major bin order, with a dataset tag
+    column — the evaluation grid for histogram()."""
+    from sxmc_tpu.ops import histogram as hist_ops
+
+    nobs = len(nbins)
+    total = hist_ops.total_bins(nbins)
+    strides = hist_ops.bin_strides(nbins)
+    lower = np.asarray(lower, np.float64)
+    upper = np.asarray(upper, np.float64)
+    widths = (upper - lower) / np.asarray(nbins, np.float64)
+    flat = np.arange(total)
+    pts = np.empty((total, nobs + 1), np.float32)
+    for i, (st, nb) in enumerate(zip(strides, nbins)):
+        axis = (flat // st) % nb
+        pts[:, i] = lower[i] + (axis + 0.5) * widths[i]
+    pts[:, nobs] = float(dataset)
+    return pts
 
 
 @functools.partial(

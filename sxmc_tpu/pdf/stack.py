@@ -67,9 +67,29 @@ class PdfStack:
         self.total_nbins = hist_ops.total_bins(self.nbins)
         self.bin_volume = hist_ops.bin_volume(lower, upper, self.nbins)
 
-        # Concatenate all signals' MC samples with a segment id, from
-        # the host copies (never read device arrays back to host).
-        sample_arrays = [s.histogram.samples_host for s in signals]
+        # KDE-backed signals (pdf.evalkde) are excluded from the fused
+        # binned build; their rows are overridden with grid-evaluated
+        # pseudo-counts in histograms().
+        from sxmc_tpu.pdf.evalkde import EvalKDE
+
+        self._kde = tuple(
+            (i, s.histogram) for i, s in enumerate(signals)
+            if isinstance(s.histogram, EvalKDE))
+        kde_idx = {i for i, _ in self._kde}
+        self.has_kde = bool(self._kde)
+
+        # Concatenate all binned signals' MC samples with a segment id,
+        # from the host copies (never read device arrays back to host).
+        sample_arrays = [
+            s.histogram.samples_host if i not in kde_idx else
+            np.empty((0, s.histogram.samples_host.shape[1]), np.float32)
+            for i, s in enumerate(signals)]
+        if sum(a.shape[0] for a in sample_arrays) == 0:
+            # All-KDE fit: one out-of-domain dummy row keeps the fused
+            # build's shapes legal; it contributes nothing.
+            sample_arrays[0] = np.full(
+                (1, signals[0].histogram.samples_host.shape[1]),
+                lower[0] - 1e9, np.float32)
         self.samples_host = np.concatenate(sample_arrays, axis=0)
         self.samples = jnp.asarray(self.samples_host)
         seg = np.concatenate([
@@ -155,11 +175,13 @@ class PdfStack:
         them per call and degrades dispatch latency on tunneled
         backends — every jitted entry point threads them explicitly.
         """
+        kde_arrays = tuple(kde.samples for _, kde in self._kde)
         if self.use_pallas:
-            return (self._packed,)
+            return (self._packed,) + kde_arrays
         if self.sample_weights is not None:
-            return (self.samples, self.segment_ids, self.sample_weights)
-        return (self.samples, self.segment_ids)
+            return (self.samples, self.segment_ids,
+                    self.sample_weights) + kde_arrays
+        return (self.samples, self.segment_ids) + kde_arrays
 
     def histograms(self, theta_syst: jnp.ndarray, device_data=None
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -167,6 +189,12 @@ class PdfStack:
         theta_syst = jnp.asarray(theta_syst, jnp.float32)
         if device_data is None:
             device_data = self.device_data
+        # KDE sample arrays ride at the tail of device_data (explicit
+        # jit arguments, never closure constants).
+        nkde = len(self._kde)
+        kde_arrays = device_data[len(device_data) - nkde:] if nkde else ()
+        device_data = device_data[:len(device_data) - nkde] if nkde \
+            else device_data
         if self.use_pallas:
             from sxmc_tpu.ops import pallas_hist
 
@@ -178,13 +206,21 @@ class PdfStack:
                 lower=self.lower_host, upper=self.upper_host,
                 nbins=self.nbins, nsegments=self.nsignals)
             hists = flat.reshape(self.nsignals, self.total_nbins)
-            return hists, hists.sum(axis=1)
-        samples, segment_ids = device_data[0], device_data[1]
-        weights = device_data[2] if len(device_data) > 2 else None
-        return _stack_histograms(
-            samples, segment_ids, theta_syst,
-            self.lower, self.upper, self.nbins, self.nsignals,
-            self.systematics, weights)
+            norms = hists.sum(axis=1)
+        else:
+            samples, segment_ids = device_data[0], device_data[1]
+            weights = device_data[2] if len(device_data) > 2 else None
+            hists, norms = _stack_histograms(
+                samples, segment_ids, theta_syst,
+                self.lower, self.upper, self.nbins, self.nsignals,
+                self.systematics, weights)
+        # KDE-backed rows: grid-evaluated pseudo-counts replace the
+        # (empty) binned rows, same counts/norm contract.
+        for (i, kde), arr in zip(self._kde, kde_arrays):
+            cnt, nrm = kde.histogram(theta_syst, samples=arr)
+            hists = hists.at[i].set(cnt)
+            norms = norms.at[i].set(nrm)
+        return hists, norms
 
     def compute_read_bins(self, data: np.ndarray) -> jnp.ndarray:
         """Per-signal read bins for a dataset, as an explicit array.

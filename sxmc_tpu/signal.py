@@ -140,7 +140,18 @@ class Signal:
         observables: Sequence[Observable],
         cuts: Sequence[Observable],
         systematics: Sequence[Systematic],
+        kde: bool = False,
+        bandwidth_scale=None,
     ) -> "Signal":
+        if kde:
+            # KDE signals take the generic table path (no native
+            # fast-path needed; the KDE grid build dominates anyway).
+            data, fields = loaders.read_float_table(filename)
+            return cls.from_table(
+                name, title, data, fields, dataset, source, nexpected,
+                sample_fields, observables, cuts, systematics,
+                filename=filename, kde=True,
+                bandwidth_scale=bandwidth_scale)
         if filename.endswith((".sxnt", ".sxt")):
             # Native ingest: cuts + column mapping + DATASET tag run in
             # the C++ event store (sxmc_tpu/io/native), no Python loop.
@@ -187,6 +198,8 @@ class Signal:
         cuts: Sequence[Observable],
         systematics: Sequence[Systematic],
         filename: str = "<memory>",
+        kde: bool = False,
+        bandwidth_scale=None,
     ) -> "Signal":
         n_mc = data.shape[0]
         # Negative nexpected is the scale sentinel: scale S was stored as
@@ -197,7 +210,7 @@ class Signal:
         samples = read_dataset_to_samples(
             data, fields, dataset, sample_fields, cuts)
         hist = build_pdf(samples, sample_fields, observables, systematics,
-                         dataset)
+                         dataset, kde=kde, bandwidth_scale=bandwidth_scale)
         return cls(
             name=name, title=title, filename=filename, dataset=dataset,
             source=source, nexpected=float(nexpected), n_mc=int(n_mc),
@@ -261,12 +274,17 @@ def build_pdf(
     observables: Sequence[Observable],
     systematics: Sequence[Systematic],
     dataset: int,
+    kde: bool = False,
+    bandwidth_scale=None,
 ) -> EvalHist:
     """Construct the EvalHist + attach systematics (signal.cpp:112-169).
 
     Observables' bounds/bins are laid out by field_index, which by the
     FitConfig layout contract occupy the first len(observables) sample
-    columns.
+    columns.  ``kde=True`` builds a kernel-density evaluator instead
+    (the feature the reference declared but never implemented,
+    pdfz.h:590-625); its density is represented on the same bin grid so
+    it drops into the batched fit machinery.
     """
     nobs = len(observables)
     lower = [0.0] * nobs
@@ -282,8 +300,15 @@ def build_pdf(
         upper[i] = obs.upper
         nbins[i] = obs.bins
 
-    hist = EvalHist(samples, len(sample_fields), nobs, lower, upper, nbins,
-                    dataset=dataset)
+    if kde:
+        from sxmc_tpu.pdf.evalkde import EvalKDE
+
+        hist = EvalKDE(samples, len(sample_fields), nobs, lower, upper,
+                       bandwidth_scale=bandwidth_scale, dataset=dataset,
+                       nbins=nbins)
+    else:
+        hist = EvalHist(samples, len(sample_fields), nobs, lower, upper,
+                        nbins, dataset=dataset)
     for syst in systematics:
         hist.add_systematic(transforms.SystematicDesc(
             type=syst.type,

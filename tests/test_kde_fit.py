@@ -1,0 +1,148 @@
+"""KDE-backed signals in full fits.
+
+The reference declared pdfz::EvalKernel and never implemented it
+(pdfz.h:590-625); here KDE signals participate in fits end-to-end: the
+density is represented as pseudo-counts on the bin grid, so the batched
+LUT/NLL/sampler machinery is unchanged.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from sxmc_tpu.generator import make_fake_dataset
+from sxmc_tpu.mcmc.metropolis import MCMC
+from sxmc_tpu.pdf.evalkde import EvalKDE
+from sxmc_tpu.pdf.stack import PdfStack
+from sxmc_tpu.signal import Observable, Signal, Source
+from sxmc_tpu.stats.mle import MLE
+
+
+def make_kde_fixture(n_mc=4000, seed=1):
+    """Gaussian signal with few MC samples (where KDE shines) + flat
+    background with plenty."""
+    rng = np.random.default_rng(seed)
+    obs = Observable(name="energy", field="energy", bins=25, lower=5.0,
+                     upper=15.0, field_index=0)
+    fields = ["energy", "DATASET"]
+    sig_mc = rng.normal(10, 1, (n_mc, 1)).astype(np.float32)
+    bkg_mc = rng.uniform(5, 15, (40000, 1)).astype(np.float32)
+    src_s = Source(name="sig", index=0, mean=1.0, sigma=0.0)
+    src_b = Source(name="bkg", index=1, mean=1.0, sigma=0.1)
+    sig = Signal.from_table("sig", "S", sig_mc, ["energy"], 0, src_s,
+                            200.0, fields, [obs], [], [], kde=True)
+    bkg = Signal.from_table("bkg", "B", bkg_mc, ["energy"], 0, src_b,
+                            400.0, fields, [obs], [], [])
+    return obs, [src_s, src_b], [sig, bkg]
+
+
+class TestKDEGrid:
+    def test_signal_builds_evalkde(self):
+        obs, sources, signals = make_kde_fixture()
+        assert isinstance(signals[0].histogram, EvalKDE)
+        assert not isinstance(signals[1].histogram, EvalKDE)
+
+    def test_pseudo_counts_integrate_to_norm(self):
+        obs, sources, signals = make_kde_fixture()
+        kde = signals[0].histogram
+        counts, norm = kde.histogram(np.zeros(0, np.float32))
+        counts = np.asarray(counts)
+        # All MC in [5,15) except Gaussian tails; counts sum ~ norm.
+        assert abs(counts.sum() - float(norm)) < 0.02 * float(norm)
+        # Smooth: neighboring-bin jumps bounded by the true Gaussian
+        # flank slope (~0.24/bin at this binning), not shot noise.
+        rel = np.abs(np.diff(counts)) / counts.max()
+        assert rel.max() < 0.3
+
+    def test_stack_overrides_kde_row(self):
+        obs, sources, signals = make_kde_fixture()
+        stack = PdfStack(signals, [obs], [])
+        assert stack.has_kde
+        hists, norms = stack.histograms(np.zeros(0, np.float32))
+        hists = np.asarray(hists)
+        direct, nrm = signals[0].histogram.histogram(
+            np.zeros(0, np.float32))
+        np.testing.assert_allclose(hists[0], np.asarray(direct),
+                                   rtol=1e-5)
+        assert abs(float(norms[0]) - float(nrm)) < 1e-3
+        # The binned row (bkg) is untouched.
+        assert float(norms[1]) == 40000.0
+
+    def test_density_smoother_than_histogram(self):
+        """KDE pseudo-density has lower shot noise than the histogram of
+        the same few samples (the reason EvalKernel was planned)."""
+        rng = np.random.default_rng(9)
+        obs = Observable(name="x", field="x", bins=40, lower=-4.0,
+                         upper=4.0, field_index=0)
+        mc = rng.normal(0, 1, (800, 1)).astype(np.float32)
+        fields = ["x", "DATASET"]
+        src = Source(name="s", index=0)
+        s_kde = Signal.from_table("s", "S", mc, ["x"], 0, src, 10.0,
+                                  fields, [obs], [], [], kde=True)
+        s_hist = Signal.from_table("s", "S", mc, ["x"], 0, src, 10.0,
+                                   fields, [obs], [], [])
+        edges = np.linspace(-4, 4, 41)
+        centers = 0.5 * (edges[:-1] + edges[1:])
+        truth = np.exp(-0.5 * centers**2) / np.sqrt(2 * np.pi)
+        dk = np.asarray(s_kde.histogram.density_histogram(None)).ravel()
+        dh = np.asarray(s_hist.histogram.density_histogram(None)).ravel()
+        err_k = np.abs(dk - truth).mean()
+        err_h = np.abs(dh - truth).mean()
+        assert err_k < err_h, (err_k, err_h)
+
+
+class TestKDEFit:
+    def test_mcmc_recovers_rates(self):
+        obs, sources, signals = make_kde_fixture()
+        data = make_fake_dataset(jax.random.PRNGKey(4), signals, [],
+                                 [obs], poisson=False)
+        mcmc = MCMC(sources, signals, [], [obs])
+        ls = mcmc(data, nsteps=8000, burnin_fraction=0.2, seed=5)
+        bf = ls.get_best_fit()
+        assert abs(bf["sig"].point_estimate - 1.0) < 0.3, bf["sig"]
+        assert abs(bf["bkg"].point_estimate - 1.0) < 0.2, bf["bkg"]
+
+    def test_mle_with_kde_signal(self):
+        obs, sources, signals = make_kde_fixture()
+        data = make_fake_dataset(jax.random.PRNGKey(4), signals, [],
+                                 [obs], poisson=False)
+        mle = MLE(sources, signals, [], [obs])
+        res = mle.fit(data)
+        assert res.converged
+        assert abs(res.value("sig") - 1.0) < 0.3
+
+    def test_kde_with_floating_systematic(self):
+        from sxmc_tpu.signal import Systematic
+
+        rng = np.random.default_rng(3)
+        obs = Observable(name="energy", field="energy", bins=25,
+                         lower=5.0, upper=15.0, field_index=0)
+        syst = Systematic(name="shift", type=0, observable_field="energy",
+                          means=[0.0], sigmas=[0.05],
+                          observable_field_index=0, pidx=[0])
+        fields = ["energy", "DATASET"]
+        mc = rng.normal(10, 1, (3000, 1)).astype(np.float32)
+        src = Source(name="s", index=0, mean=1.0, sigma=0.0)
+        sig = Signal.from_table("s", "S", mc, ["energy"], 0, src, 300.0,
+                                fields, [obs], [], [syst], kde=True)
+        # The KDE density must move under the shift parameter.
+        d0, _ = sig.histogram.histogram(np.array([0.0], np.float32))
+        d1, _ = sig.histogram.histogram(np.array([0.5], np.float32))
+        d0, d1 = np.asarray(d0), np.asarray(d1)
+        assert np.argmax(d1) > np.argmax(d0)
+        data = make_fake_dataset(jax.random.PRNGKey(4), [sig], [syst],
+                                 [obs], poisson=False)
+        mcmc = MCMC([src], [sig], [syst], [obs])
+        ls = mcmc(data, nsteps=3000, burnin_fraction=0.2, seed=5)
+        bf = ls.get_best_fit()
+        assert abs(bf["shift_0"].point_estimate) < 0.1
+
+    def test_sharded_chain_rejects_kde(self):
+        from sxmc_tpu.parallel.chain_sharded import run_sharded_chain
+
+        obs, sources, signals = make_kde_fixture()
+        data = make_fake_dataset(jax.random.PRNGKey(4), signals, [],
+                                 [obs], poisson=False)
+        mcmc = MCMC(sources, signals, [], [obs])
+        with pytest.raises(NotImplementedError):
+            run_sharded_chain(mcmc, data, 100)
