@@ -25,6 +25,9 @@ def main(argv=None) -> int:
                         help="base directory for relative data filenames")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")
+    parser.add_argument("--profile", metavar="LOGDIR", default=None,
+                        help="capture a jax.profiler trace of the run "
+                             "into LOGDIR (view in TensorBoard)")
     parser.add_argument("--sharded", action="store_true",
                         help="run all fake experiments as one vmapped "
                              "batch sharded over the device mesh")
@@ -62,8 +65,11 @@ def main(argv=None) -> int:
             print(f"sxmc_tpu: Median upper limit: {median(limits)}")
         return 0
 
-    main_fit(args.config, args.output_path, resume=args.resume,
-             data_root=args.data_root, sampler=args.sampler)
+    from sxmc_tpu.observability import profile
+
+    with profile(args.profile):
+        main_fit(args.config, args.output_path, resume=args.resume,
+                 data_root=args.data_root, sampler=args.sampler)
     return 0
 
 

@@ -286,7 +286,9 @@ def _interval_from_profile(grid: np.ndarray, pnll: np.ndarray,
     dn = np.asarray(pnll, np.float64)
     dn = dn - dn.min()
     imin = int(np.argmin(dn))
-    point = float(grid[imin])
+    # The unconstrained MLE is the point estimate; the grid argmin only
+    # anchors the crossing search.
+    point = float(vhat)
 
     lower = float(grid[0])
     found_lower = False
@@ -328,15 +330,46 @@ def _rate_objective(mle: MLE, theta, lut, norms, free_idx):
 
 
 def _bfgs(fun, x0, maxiter):
+    """BFGS + damped-Newton polish, convergence judged by Minuit's EDM.
+
+    In f32 the objective is rounded at ~eps*|NLL|, which stalls BFGS's
+    Wolfe line search well before the gradient is zero.  The polish
+    steps use AD gradients/Hessians directly (no objective comparisons,
+    so rounding cannot stall them) and drive the remaining estimated
+    distance to minimum EDM = g H^-1 g / 2 to ~0.
+    """
     from jax.scipy.optimize import minimize
 
     res = minimize(fun, x0, method="BFGS",
                    options={"maxiter": maxiter, "gtol": 1e-4})
-    # BFGS's own success flag is too strict in f32 (the final line search
-    # often "fails" at machine precision); judge convergence from the
-    # actual gradient, which for dNLL/d(log r) is in event units.
-    gnorm = jnp.max(jnp.abs(jax.grad(fun)(res.x)))
-    return res.x, res.fun, res.success | (gnorm < 0.05)
+    grad = jax.grad(fun)
+    hess = jax.hessian(fun)
+    eye = jnp.eye(x0.shape[0], dtype=x0.dtype)
+
+    def newton(x, _):
+        g = grad(x)
+        h = hess(x) + 1e-4 * eye
+        step = jnp.linalg.solve(h, g)
+        # Trust region: cap the step; reject non-finite moves (e.g. a
+        # singular Hessian at the r -> 0 boundary).
+        x_new = x - jnp.clip(step, -1.0, 1.0)
+        ok = jnp.all(jnp.isfinite(x_new)) & jnp.isfinite(fun(x_new))
+        return jnp.where(ok, x_new, x), None
+
+    x, _ = jax.lax.scan(newton, res.x, None, length=6)
+    f = fun(x)
+    # Keep whichever point is better (Newton can wander if H is not
+    # positive definite far from the optimum).
+    better = f <= res.fun
+    x = jnp.where(better, x, res.x)
+    f = jnp.where(better, f, res.fun)
+
+    g = grad(x)
+    h = hess(x) + 1e-4 * eye
+    edm = 0.5 * jnp.dot(g, jnp.linalg.solve(h, g))
+    # EDM < 0.01: the NLL improvement still available is negligible
+    # against the dNLL = 0.5 interval scale (Minuit's criterion).
+    return x, f, res.success | (jnp.abs(edm) < 0.01)
 
 
 @functools.partial(
