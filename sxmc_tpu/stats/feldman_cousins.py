@@ -87,7 +87,7 @@ class FeldmanCousins:
         rb = np.asarray(mle.stack.compute_read_bins(batch))
         r_values = np.repeat(r_grid, ntoys)
 
-        dnll = _toy_dnll_batch(
+        dnll, _ = _toy_dnll_batch(
             mle, jnp.asarray(r_values), jnp.asarray(rb),
             mle.stack.device_data, self.k,
             tuple(mle._free_rates), mle.maxiter)
@@ -158,7 +158,10 @@ def _refine(grid, excess, i, direction):
     jax.jit, static_argnames=("mle", "k", "free_idx", "maxiter"))
 def _toy_dnll_batch(mle: MLE, r_values, read_bins_batch, device_data,
                     k: int, free_idx, maxiter: int):
-    """Per toy: dNLL = NLL(r pinned, others profiled) - NLL(global min).
+    """Per toy: (dNLL, r_hat) with
+    dNLL = NLL(r pinned, others profiled) - NLL(global min)
+    and r_hat the toy's unconstrained signal-rate MLE (needed by
+    one-sided test statistics, stats.cls).
 
     Systematics are held at nominal (plug-in construction); both fits
     per toy are BFGS solves, vmapped over the whole (grid x toys) batch.
@@ -177,14 +180,18 @@ def _toy_dnll_batch(mle: MLE, r_values, read_bins_batch, device_data,
             return nll_fn(pinned.at[idx].set(r), lut, norms, mle.static)
 
         if not idxs:
-            return fun(jnp.zeros((0,), jnp.float32))
-        _, f, _ = _bfgs(fun, q0_all[idx], maxiter)
-        return f
+            return jnp.zeros((0,), jnp.float32), \
+                fun(jnp.zeros((0,), jnp.float32))
+        x, f, _ = _bfgs(fun, q0_all[idx], maxiter)
+        return x, f
+
+    k_in_free = free_idx.index(k) if k in free_idx else -1
 
     def one(rv, rb):
         lut, norms = mle.stack.evaluate(theta, rb, device_data)
-        f_hat = solve(lut, norms, base, free_idx)
-        f_pin = solve(lut, norms, base.at[k].set(rv), free_noK)
-        return jnp.maximum(f_pin - f_hat, 0.0)
+        x_hat, f_hat = solve(lut, norms, base, free_idx)
+        _, f_pin = solve(lut, norms, base.at[k].set(rv), free_noK)
+        rhat = jnp.exp(x_hat[k_in_free]) if k_in_free >= 0 else base[k]
+        return jnp.maximum(f_pin - f_hat, 0.0), rhat
 
     return jax.vmap(one)(r_values, read_bins_batch)
