@@ -87,3 +87,18 @@ class TestCLs:
         obs, sources, signals = model
         with pytest.raises(ValueError):
             HypoTest(MLE(sources, signals, [], [obs]), "not_a_rate")
+
+
+class TestExpectedBand:
+    def test_brazil_band_ordering(self, model):
+        obs, sources, signals = model
+        ht = HypoTest(MLE(sources, signals, [], [obs]), "sig")
+        grid = np.linspace(0.1, 2.5, 7)
+        band = ht.cls_expected_band(
+            jax.random.PRNGKey(8), grid, ntoys=80, cl=0.95,
+            quantiles=(0.16, 0.5, 0.84))
+        assert set(band) == {0.16, 0.5, 0.84}
+        # Band edges ordered (up to toy noise) and inside the grid.
+        assert 0.1 <= band[0.16] <= band[0.5] * 1.2
+        assert band[0.5] * 0.8 <= band[0.84] <= 2.5
+        assert 0.1 < band[0.5] < 2.5
