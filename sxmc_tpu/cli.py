@@ -38,6 +38,16 @@ def main(argv=None) -> int:
                         help="MCMC sampler, or 'mle' for a gradient "
                              "maximum-likelihood fit with profile-"
                              "likelihood intervals")
+    parser.add_argument("--hypotest", metavar="NTOYS", nargs="?",
+                        const=200, type=int, default=0,
+                        help="also run frequentist hypothesis tests on "
+                             "fit.signal_name: q0 discovery significance "
+                             "and a toy-MC CLs upper limit (NTOYS toys "
+                             "per grid point, default 200)")
+    parser.add_argument("--hypotest-band", action="store_true",
+                        help="with --hypotest, also compute the median "
+                             "and +-1 sigma expected CLs limits (the "
+                             "Brazil band) from background-only toys")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -69,7 +79,9 @@ def main(argv=None) -> int:
 
     with profile(args.profile):
         main_fit(args.config, args.output_path, resume=args.resume,
-                 data_root=args.data_root, sampler=args.sampler)
+                 data_root=args.data_root, sampler=args.sampler,
+                 hypotest_toys=args.hypotest,
+                 hypotest_band=args.hypotest_band)
     return 0
 
 

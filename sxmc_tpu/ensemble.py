@@ -31,8 +31,18 @@ def run_ensemble(
     resume: bool = False,
     verbose: bool = True,
     sampler: str = "metropolis",
+    hypotest_toys: int = 0,
+    hypotest_band: bool = False,
 ) -> List[float]:
-    """Run the full ensemble; returns the per-experiment upper limits."""
+    """Run the full ensemble; returns the per-experiment upper limits.
+
+    ``hypotest_toys > 0`` additionally runs the frequentist hypothesis
+    tests (q0 discovery significance + CLs upper limit, and the expected
+    "Brazil band" when ``hypotest_band``) on the configured
+    ``signal_name`` for every experiment — machinery the reference
+    lacks entirely (its nearest analog is the median-limit loop,
+    sxmc.cpp:110-127).
+    """
     os.makedirs(output_path, exist_ok=True)
 
     def log(msg):
@@ -81,6 +91,20 @@ def run_ensemble(
                 float(norms[i]) * mcmc.stack.bin_volume, 1e-30)
             np.save(os.path.join(output_path, f"{sig.name}_pdf.npy"), dens)
 
+    ht = None
+    if hypotest_toys > 0 and fc.signal_name:
+        from sxmc_tpu.stats.hypotest import HypoTest
+        from sxmc_tpu.stats.mle import MLE
+
+        est = mcmc if isinstance(mcmc, MLE) else MLE(
+            fc.sources, fc.signals, fc.systematics, fc.observables)
+        try:
+            ht = HypoTest(est, fc.signal_name)
+        except ValueError as e:
+            log(f"ensemble: hypotest disabled: {e}")
+    elif hypotest_toys > 0:
+        log("ensemble: hypotest requires fit.signal_name")
+
     key = jax.random.PRNGKey(fc.seed)
     limits: List[float] = []
 
@@ -119,6 +143,11 @@ def run_ensemble(
                         f"({sig.filename})")
                     chunks.append(sig.histogram.get_samples())
                 samples_data = np.concatenate(chunks, axis=0)
+
+            if ht is not None:
+                _run_hypotest(ht, fc, samples_data, output_path, i,
+                              hypotest_toys, hypotest_band,
+                              jax.random.fold_in(exp_key, 7), log)
 
             if sampler == "mle":
                 limit = _run_mle_experiment(
@@ -170,6 +199,52 @@ def run_ensemble(
     return limits
 
 
+def _run_hypotest(ht, fc: FitConfig, data, output_path: str, index: int,
+                  ntoys: int, band: bool, key, log) -> None:
+    """Discovery significance + CLs limit for the signal of interest.
+
+    The CLs scan grid is auto-sized from the profile-likelihood upper
+    limit (grid = [hi/8 .. 2x the profile limit]), so no user tuning is
+    needed; results go to ``{prefix}_hypotest_{i}.json``.
+    """
+    import json
+
+    cl = max(fc.confidence, 0.9)
+    k_disc, k_cls, k_band = jax.random.split(key, 3)
+
+    disc = ht.discovery(data, ntoys=ntoys, key=k_disc)
+    log(f"hypotest: Discovery {fc.signal_name}: {disc}")
+
+    result = ht.mle.fit(np.asarray(data, np.float32))
+    lim0 = ht.mle.upper_limit(fc.signal_name, cl, result)
+    hi = max(2.0 * lim0, 1e-2)
+    grid = np.linspace(hi / 8.0, hi, 8)
+    limit, grid, cls_vals = ht.cls_upper_limit(
+        k_cls, data, grid, ntoys=ntoys, cl=cl)
+    log(f"hypotest: CLs upper limit ({cl:.0%} CL): {limit:g} "
+        f"(profile-likelihood: {lim0:g})")
+
+    out = {
+        "signal": fc.signal_name, "cl": cl, "ntoys": ntoys,
+        "q0": disc.q0, "z_asymptotic": disc.z_asymptotic,
+        "p_asymptotic": disc.p_asymptotic, "z_toys": disc.z_toys,
+        "p_toys": disc.p_toys, "cls_limit": limit,
+        "profile_limit": lim0, "r_grid": list(grid),
+        "cls_values": list(cls_vals),
+    }
+    if band:
+        bd = ht.cls_expected_band(k_band, grid, ntoys=ntoys, cl=cl,
+                                  background_fit=result,
+                                  quantiles=(0.16, 0.5, 0.84))
+        log(f"hypotest: Expected limit (median [-1s, +1s]): "
+            f"{bd[0.5]:g} [{bd[0.16]:g}, {bd[0.84]:g}]")
+        out["expected_limit"] = {str(k): v for k, v in bd.items()}
+    with open(os.path.join(
+            output_path,
+            f"{fc.output_prefix}_hypotest_{index}.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
 def _run_mle_experiment(mle, fc: FitConfig, samples_data, output_path: str,
                         index: int, log) -> Optional[float]:
     """One gradient-MLE experiment: fit, profile the signal, plot.
@@ -218,7 +293,9 @@ def _run_mle_experiment(mle, fc: FitConfig, samples_data, output_path: str,
 
 def main_fit(config_file: str, output_path: str, resume: bool = False,
              data_root: Optional[str] = None,
-             sampler: str = "metropolis") -> List[float]:
+             sampler: str = "metropolis",
+             hypotest_toys: int = 0,
+             hypotest_band: bool = False) -> List[float]:
     """Full driver (reference: sxmc.cpp:181-229)."""
     print("sxmc_tpu: Loading configuration...")
     print(f"sxmc_tpu: Configuration: {config_file}")
@@ -227,7 +304,8 @@ def main_fit(config_file: str, output_path: str, resume: bool = False,
 
     print("sxmc_tpu: Running ensemble...")
     limits = run_ensemble(fc, output_path, resume=resume,
-                          sampler=sampler)
+                          sampler=sampler, hypotest_toys=hypotest_toys,
+                          hypotest_band=hypotest_band)
 
     if limits:
         print("sxmc_tpu: Upper limits:", ", ".join(f"{x:g}" for x in limits))

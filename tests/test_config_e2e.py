@@ -166,6 +166,31 @@ class TestEndToEnd:
         assert "Median upper limit" in out
         assert (outdir / "lspace_0.hdf5").exists()
 
+    def test_cli_hypotest(self, mc_files, tmp_path, capsys):
+        """--hypotest reports q0 + a CLs limit on fit.signal_name and
+        writes the machine-readable hypotest JSON."""
+        conf = example_config(mc_files, nsteps=1500)
+        cfg_file = tmp_path / "fit.json"
+        cfg_file.write_text(json.dumps(conf))
+        outdir = tmp_path / "out"
+
+        from sxmc_tpu.cli import main
+        assert main([str(cfg_file), str(outdir),
+                     "--sampler", "mle", "--hypotest", "30"]) == 0
+        out = capsys.readouterr().out
+        assert "hypotest: Discovery signal1" in out
+        assert "hypotest: CLs upper limit" in out
+        hfile = outdir / "lspace_hypotest_0.json"
+        assert hfile.exists()
+        res = json.loads(hfile.read_text())
+        assert res["signal"] == "signal1"
+        assert res["ntoys"] == 30
+        # 500 expected signal events: discovery must be overwhelming,
+        # and the CLs limit must sit above the (large) best-fit rate.
+        assert res["z_asymptotic"] > 5.0
+        assert res["cls_limit"] > 0.0
+        assert len(res["r_grid"]) == len(res["cls_values"]) == 8
+
     def test_resume_from_samples(self, mc_files, tmp_path):
         conf = example_config(mc_files, nsteps=2000)
         cfg_file = tmp_path / "fit.json"
