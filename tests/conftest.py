@@ -19,3 +19,18 @@ if "host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    One pytest process compiles hundreds of distinct XLA programs; the
+    accumulated in-process JIT state has produced compiler segfaults
+    deep into the suite (observed at ~55 tests in).  Modules rarely
+    share traces (different shapes/models), so clearing costs little.
+    """
+    yield
+    jax.clear_caches()
