@@ -176,7 +176,7 @@ class TestEndToEnd:
 
         from sxmc_tpu.cli import main
         assert main([str(cfg_file), str(outdir),
-                     "--sampler", "mle", "--hypotest", "30"]) == 0
+                     "--sampler", "mle", "--hypotest", "20"]) == 0
         out = capsys.readouterr().out
         assert "hypotest: Discovery signal1" in out
         assert "hypotest: CLs upper limit" in out
@@ -184,7 +184,7 @@ class TestEndToEnd:
         assert hfile.exists()
         res = json.loads(hfile.read_text())
         assert res["signal"] == "signal1"
-        assert res["ntoys"] == 30
+        assert res["ntoys"] == 20
         # 500 expected signal events: discovery must be overwhelming,
         # and the CLs limit must sit above the (large) best-fit rate.
         assert res["z_asymptotic"] > 5.0

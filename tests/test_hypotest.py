@@ -75,9 +75,9 @@ class TestCLs:
     def test_background_only_limit(self, model):
         obs, sources, signals = model
         ht = HypoTest(MLE(sources, signals, [], [obs]), "sig")
-        grid = np.linspace(0.1, 2.0, 8)
+        grid = np.linspace(0.1, 2.0, 5)
         limit, r, cls_vals = ht.cls_upper_limit(
-            jax.random.PRNGKey(4), bkg_only_data(), grid, ntoys=80,
+            jax.random.PRNGKey(4), bkg_only_data(), grid, ntoys=50,
             cl=0.95)
         assert 0.1 < limit < 2.0, (limit, cls_vals)
         # CLs is (noisily) decreasing; endpoints must straddle alpha.
@@ -93,9 +93,9 @@ class TestExpectedBand:
     def test_brazil_band_ordering(self, model):
         obs, sources, signals = model
         ht = HypoTest(MLE(sources, signals, [], [obs]), "sig")
-        grid = np.linspace(0.1, 2.5, 7)
+        grid = np.linspace(0.1, 2.5, 5)
         band = ht.cls_expected_band(
-            jax.random.PRNGKey(8), grid, ntoys=80, cl=0.95,
+            jax.random.PRNGKey(8), grid, ntoys=60, cl=0.95,
             quantiles=(0.16, 0.5, 0.84))
         assert set(band) == {0.16, 0.5, 0.84}
         # Band edges ordered (up to toy noise) and inside the grid.
