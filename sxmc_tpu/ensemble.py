@@ -232,6 +232,7 @@ def _run_hypotest(ht, fc: FitConfig, data, output_path: str, index: int,
         "profile_limit": lim0, "r_grid": list(grid),
         "cls_values": list(cls_vals),
     }
+    bd = None
     if band:
         bd = ht.cls_expected_band(k_band, grid, ntoys=ntoys, cl=cl,
                                   background_fit=result,
@@ -243,6 +244,18 @@ def _run_hypotest(ht, fc: FitConfig, data, output_path: str, index: int,
             output_path,
             f"{fc.output_prefix}_hypotest_{index}.json"), "w") as f:
         json.dump(out, f, indent=1)
+
+    if fc.plots:
+        try:
+            from sxmc_tpu import plots
+
+            plots.plot_cls_scan(
+                grid, cls_vals, limit, cl,
+                os.path.join(output_path,
+                             f"{fc.output_prefix}_cls_{index}.png"),
+                signal_name=fc.signal_name, expected=bd)
+        except Exception as e:  # plotting must never kill the fit
+            log(f"hypotest: plotting failed: {e}")
 
 
 def _run_mle_experiment(mle, fc: FitConfig, samples_data, output_path: str,

@@ -111,3 +111,60 @@ def plot_fit(
             for fmt in formats:
                 fig.savefig(f"{stem}.{fmt}", dpi=120)
             plt.close(fig)
+
+
+def plot_cls_scan(
+    r_grid,
+    cls_values,
+    limit: float,
+    cl: float,
+    outpath: str,
+    signal_name: str = "signal",
+    expected: Dict[float, float] = None,
+) -> None:
+    """CLs exclusion scan: observed CLs(r) with the alpha crossing,
+    plus the expected-limit band when available (the Brazil-band
+    figure; beyond the reference, whose only figures are spectra,
+    plots.cpp:150-302).
+
+    Args:
+        r_grid, cls_values: the scan from ``HypoTest.cls_upper_limit``.
+        limit: the observed upper limit (the CLs = 1 - cl crossing).
+        expected: optional ``{kappa: limit}`` from
+            ``HypoTest.cls_expected_band`` (0.5 = median; 0.16/0.84
+            drawn as the +-1 sigma band).
+    """
+    r_grid = np.asarray(r_grid, float)
+    cls_values = np.asarray(cls_values, float)
+    alpha = 1.0 - cl
+
+    fig, ax = plt.subplots(figsize=(7, 5))
+
+    if expected:
+        lo, hi = expected.get(0.16), expected.get(0.84)
+        if lo is not None and hi is not None:
+            ax.axvspan(min(lo, hi), max(lo, hi), color="#228833",
+                       alpha=0.2, lw=0,
+                       label="Expected limit ±1σ")
+        med = expected.get(0.5)
+        if med is not None:
+            ax.axvline(med, color="#228833", ls="--", lw=1.5,
+                       label="Expected limit (median)")
+
+    ax.plot(r_grid, cls_values, color="#4477AA", lw=2, marker="o",
+            ms=5, label="Observed CLs")
+    ax.axhline(alpha, color="#888888", ls=":", lw=1.5)
+    ax.annotate(f"α = {alpha:g}", (r_grid[-1], alpha),
+                xytext=(-4, 4), textcoords="offset points",
+                ha="right", fontsize=9, color="#555555")
+    ax.axvline(limit, color="#4477AA", ls="--", lw=1.5,
+               label=f"Observed limit ({cl:.0%} CL)")
+
+    ax.set_xlabel(f"{signal_name} rate")
+    ax.set_ylabel("CLs")
+    ax.set_ylim(0.0, min(1.05, max(1.02 * cls_values.max(), 3 * alpha)))
+    ax.grid(alpha=0.25, lw=0.5)
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(outpath, dpi=120)
+    plt.close(fig)

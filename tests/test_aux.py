@@ -129,3 +129,18 @@ class TestObservability:
                              ["a", "b"])
         out = plot_traces(ls, str(tmp_path))
         assert os.path.exists(out)
+
+    def test_plot_cls_scan(self, tmp_path):
+        from sxmc_tpu.plots import plot_cls_scan
+
+        grid = np.linspace(0.05, 1.0, 9)
+        cls_vals = np.array([1.0, 0.82, 0.4, 0.12, 0.053, 0.02,
+                             0.006, 0.001, 0.0])
+        out = str(tmp_path / "cls.png")
+        plot_cls_scan(grid, cls_vals, 0.41, 0.95, out, signal_name="sig",
+                      expected={0.16: 0.16, 0.5: 0.40, 0.84: 0.50})
+        assert os.path.exists(out)
+        # Without a band dict (no --hypotest-band).
+        out2 = str(tmp_path / "cls2.png")
+        plot_cls_scan(grid, cls_vals, 0.41, 0.95, out2)
+        assert os.path.exists(out2)
