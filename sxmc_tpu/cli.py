@@ -68,8 +68,9 @@ def main(argv=None) -> int:
         os.makedirs(args.output_path, exist_ok=True)
         lspaces, limits = run_sharded_ensemble(fc)
         for i, ls in enumerate(lspaces):
-            ls.save(os.path.join(args.output_path,
-                                 f"{fc.output_prefix}_{i}.hdf5"))
+            ls.save(os.path.join(
+                args.output_path,
+                f"{fc.output_prefix}_{i}.{fc.output_format}"))
             print(ls.print_best_fit())
         if limits:
             print(f"sxmc_tpu: Median upper limit: {median(limits)}")

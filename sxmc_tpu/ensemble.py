@@ -111,7 +111,7 @@ def run_ensemble(
     for i in range(fc.nexperiments):
         log(f"Experiment {i + 1} / {fc.nexperiments}")
         lspace_file = os.path.join(
-            output_path, f"{fc.output_prefix}_{i}.hdf5")
+            output_path, f"{fc.output_prefix}_{i}.{fc.output_format}")
 
         exp_key = jax.random.fold_in(key, i)
 
@@ -180,7 +180,8 @@ def run_ensemble(
                 from sxmc_tpu import plots
 
                 plots.plot_fit(ls.get_best_fit(), fc, samples_data,
-                               output_path, suffix=f"_{i}")
+                               output_path, suffix=f"_{i}",
+                               formats=fc.plot_formats)
             except Exception as e:  # plotting must never kill the fit
                 log(f"ensemble: plotting failed: {e}")
 
@@ -298,7 +299,7 @@ def _run_mle_experiment(mle, fc: FitConfig, samples_data, output_path: str,
             from sxmc_tpu import plots
 
             plots.plot_fit(best_fit, fc, samples_data, output_path,
-                           suffix=f"_{index}")
+                           suffix=f"_{index}", formats=fc.plot_formats)
         except Exception as e:  # plotting must never kill the fit
             log(f"ensemble: plotting failed: {e}")
     return limit

@@ -66,6 +66,12 @@ class FitConfig:
     signal_name: str = ""
     samples: str = ""
     nchains: int = 1
+    # Plot export formats (the reference saves .pdf/.png/.tex/.C/.root,
+    # plots.cpp:130-140; matplotlib covers png/pdf/svg/eps).
+    plot_formats: tuple = ("png",)
+    # Likelihood-space output format: "hdf5" (default), "npz", "csv", or
+    # "root" (needs uproot; matches the reference's lspace_<i>.root).
+    output_format: str = "hdf5"
 
     observables: List[Observable] = dataclasses.field(default_factory=list)
     cuts: List[Observable] = dataclasses.field(default_factory=list)
@@ -111,6 +117,8 @@ class FitConfig:
             signal_name=str(fit.get("signal_name", "")),
             samples=str(fit.get("samples", "")),
             nchains=int(fit.get("nchains", 1)),
+            plot_formats=tuple(fit.get("plot_formats", ["png"])),
+            output_format=str(fit.get("output_format", "hdf5")),
         )
 
         # Observables and cuts (config.cpp:75-91).
@@ -151,13 +159,11 @@ class FitConfig:
                     fixed=bool(sconf.get("fixed", False))))
                 sidx += 1
 
-        # Sample-field layout (config.cpp:153-194).
+        # Sample-field layout (config.cpp:153-194).  Cut fields stay out
+        # of sample_fields, as in the reference: cuts are applied at
+        # load time, not carried through the fit.
         for obs in fc.observables:
             obs.field_index = _index_with_append(fc.sample_fields, obs.field)
-        for cut in fc.cuts:
-            # Cut fields must be loadable for data clipping; the reference
-            # keeps them out of sample_fields (cuts are applied at load).
-            pass
         for syst in fc.systematics:
             try:
                 syst.observable_field_index = \

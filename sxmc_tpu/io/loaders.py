@@ -87,6 +87,8 @@ def write_float_table(filename: str, data: np.ndarray,
         from sxmc_tpu.io import native
 
         native.write_sxnt(filename, data, fields)
+    elif ext == ".root":
+        _write_root(filename, data, fields)
     else:
         raise DataError(f"Unsupported output format: {filename}")
 
@@ -151,6 +153,23 @@ def _read_sxnt(filename: str):
         return store.read_all(), list(store.fields)
     finally:
         store.close()
+
+
+def _write_root(filename: str, data: np.ndarray,
+                fields: Sequence[str]) -> None:
+    # Optional dependency: uproot writes a flat TTree "ls" so the output
+    # is consumable by downstream ROOT tooling, matching the reference's
+    # lspace_<i>.root ntuples (sxmc.cpp:130-141).
+    try:
+        import uproot  # type: ignore
+    except ImportError as e:
+        raise DataError(
+            "Writing .root files requires uproot, which is not "
+            "installed. Use .hdf5/.npz output instead.") from e
+
+    with uproot.recreate(filename) as f:
+        f["ls"] = {name: np.ascontiguousarray(data[:, i], np.float32)
+                   for i, name in enumerate(fields)}
 
 
 def _read_root(filename: str):

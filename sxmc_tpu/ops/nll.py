@@ -21,11 +21,76 @@ The math, term for term:
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 
 BARRIER = 1e18
+
+
+# ---------------------------------------------------------------------------
+# Compensated (double-float) accumulation.
+#
+# The reference accumulates the event log-sum and the total NLL in
+# ``double`` (nll_kernels.cpp:89-116, 149-188).  TPUs have no fast f64,
+# so the TPU-native equivalent is an error-free-transform tree: sums are
+# carried as (hi, lo) f32 pairs with ~48 effective mantissa bits.  At the
+# 10^7-event scale the NLL is ~10^7 where the plain-f32 quantum (~1) is
+# larger than the dNLL = 0.5 interval scale; the compensated sum keeps
+# per-evaluation error ~1e-6, so Metropolis accept ratios and interval
+# crossings stay exact.  Cost: ~12 VPU flops per element — invisible
+# next to the log() itself.
+
+
+def two_sum(a: jnp.ndarray, b: jnp.ndarray):
+    """Branch-free Knuth TwoSum: a + b = s + err exactly (in f32)."""
+    s = a + b
+    bv = s - a
+    err = (a - (s - bv)) + (b - bv)
+    return s, err
+
+
+def df_sum(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compensated sum of all elements: returns (hi, lo) with
+    hi + lo ~= exact sum to ~2^-48 relative error.
+
+    A log-depth tree of TwoSums: each level folds the vector in half,
+    pushing the rounding error of every add into a compensation vector
+    that is itself folded (its terms are ~ulp-sized, so plain f32
+    accumulation of the compensation is exact to second order).
+    """
+    s = x.reshape(-1)
+    c = jnp.zeros_like(s)
+    n = s.shape[0]
+    while n > 1:
+        half = (n + 1) // 2
+        pad = 2 * half - n
+        if pad:
+            s = jnp.concatenate([s, jnp.zeros((pad,), s.dtype)])
+            c = jnp.concatenate([c, jnp.zeros((pad,), c.dtype)])
+        hi, err = two_sum(s[:half], s[half:])
+        s = hi
+        c = c[:half] + c[half:] + err
+        n = half
+    return s[0], c[0]
+
+
+def df_add(hi_a, lo_a, hi_b, lo_b):
+    """Double-float addition of two (hi, lo) pairs, renormalized."""
+    hi, err = two_sum(hi_a, hi_b)
+    lo = lo_a + lo_b + err
+    hi2, lo2 = two_sum(hi, lo)
+    return hi2, lo2
+
+
+def df_diff(hi_a, lo_a, hi_b, lo_b):
+    """Accurate (a - b) as a plain f32 scalar.
+
+    For nearby values (|a - b| << |a|, the Metropolis case) the hi
+    subtraction is exact by Sterbenz's lemma, so the result carries the
+    full compensated precision of both operands.
+    """
+    return (hi_a - hi_b) + (lo_a - lo_b)
 
 
 class NLLStatic(NamedTuple):
@@ -65,9 +130,14 @@ def signal_weights(pars: jnp.ndarray, norms: jnp.ndarray,
     return rates * st.nexpected * norms / st.n_mc
 
 
-def nll(pars: jnp.ndarray, lut: jnp.ndarray, norms: jnp.ndarray,
-        st: NLLStatic) -> jnp.ndarray:
-    """Full extended-ML NLL.
+def nll_pair(pars: jnp.ndarray, lut: jnp.ndarray, norms: jnp.ndarray,
+             st: NLLStatic) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full extended-ML NLL with compensated (double-float) accumulation.
+
+    The event log-sum, expected-count term, and constraint sum are
+    accumulated as (hi, lo) f32 pairs (the TPU-native stand-in for the
+    reference's ``double`` accumulators, nll_kernels.cpp:89-188), so
+    the result resolves dNLL << 0.5 even when NLL ~ 10^7.
 
     Args:
         pars: ``(nparams,)`` parameter vector — ``nsources`` rates then
@@ -78,21 +148,39 @@ def nll(pars: jnp.ndarray, lut: jnp.ndarray, norms: jnp.ndarray,
         st: fit constants.
 
     Returns:
-        Scalar f32 NLL (1e18 barrier applied).
+        (hi, lo) f32 pair; hi + lo is the NLL (1e18 barrier applied).
     """
     pars = jnp.asarray(pars)
     w = signal_weights(pars, norms, st)
     lut0 = jnp.nan_to_num(lut, nan=0.0, posinf=0.0, neginf=0.0)
     s = jnp.einsum("j,ji->i", w, lut0, preferred_element_type=jnp.float32)
-    event_sum = jnp.sum(jnp.where(s > 0, jnp.log(jnp.where(s > 0, s, 1.0)),
-                                  0.0))
+    logs = jnp.where(s > 0, jnp.log(jnp.where(s > 0, s, 1.0)), 0.0)
+    ev_hi, ev_lo = df_sum(logs)
 
-    total = -event_sum + jnp.sum(w)
+    w_hi, w_lo = df_sum(w)
 
     constrained = st.sigmas > 0
     z = (pars - st.means) / jnp.where(constrained, st.sigmas, 1.0)
-    total = total + 0.5 * jnp.sum(jnp.where(constrained, z * z, 0.0))
+    con = 0.5 * jnp.sum(jnp.where(constrained, z * z, 0.0))
+
+    hi, lo = df_add(-ev_hi, -ev_lo, w_hi, w_lo)
+    hi, lo = df_add(hi, lo, con, jnp.zeros_like(con))
 
     neg_rate = jnp.any(pars[:st.nsources] < 0)
-    bad = neg_rate | ~jnp.isfinite(event_sum)
-    return jnp.where(bad, jnp.float32(BARRIER), total)
+    bad = neg_rate | ~jnp.isfinite(ev_hi)
+    hi = jnp.where(bad, jnp.float32(BARRIER), hi)
+    lo = jnp.where(bad, jnp.float32(0.0), lo)
+    return hi, lo
+
+
+def nll(pars: jnp.ndarray, lut: jnp.ndarray, norms: jnp.ndarray,
+        st: NLLStatic) -> jnp.ndarray:
+    """Full extended-ML NLL as a scalar f32 (see :func:`nll_pair`).
+
+    The value is computed with compensated accumulation and then
+    rounded once to f32; callers that must resolve dNLL at the
+    10^7-event scale should use :func:`nll_pair` directly (the MCMC
+    step does).
+    """
+    hi, lo = nll_pair(pars, lut, norms, st)
+    return hi + lo

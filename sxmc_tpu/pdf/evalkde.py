@@ -143,10 +143,23 @@ def _kde_eval(samples, points, params, lower, upper, bw_scale, nobs,
 
     x = points[:, :nobs]                              # (m, d)
     # Product Gaussian kernel: K(x) = prod_i phi((x_i - s_i) / h_i)/h_i
-    z = (x[:, None, :] - obs[None, :, :]) / h         # (m, n, d)
-    logk = -0.5 * jnp.sum(z * z, axis=-1)             # (m, n)
-    k = jnp.exp(logk) * jnp.prod(_INV_SQRT2PI / h)
-    density = k.mean(axis=1)                          # (m,)
+    # The (block, n, d) distance tensor is materialized one point-block
+    # at a time (lax.map) so peak memory is O(block * n * d) instead of
+    # O(m * n * d) — a 64x64-bin 2-D grid against 200k MC samples would
+    # otherwise allocate ~6.5 GB per evaluation.
+    m = x.shape[0]
+    block = 512
+    mpad = -(-m // block) * block
+    xp = jnp.pad(x, ((0, mpad - m), (0, 0)))
+    kscale = jnp.prod(_INV_SQRT2PI / h)
+
+    def one_block(xb):                                # (block, d)
+        z = (xb[:, None, :] - obs[None, :, :]) / h    # (block, n, d)
+        logk = -0.5 * jnp.sum(z * z, axis=-1)         # (block, n)
+        return jnp.exp(logk).mean(axis=1) * kscale    # (block,)
+
+    density = jax.lax.map(
+        one_block, xp.reshape(mpad // block, block, d)).reshape(-1)[:m]
 
     # Truncate-renormalize to the domain:
     # Z = (1/n) sum_s prod_i [Phi((u_i-s_i)/h_i) - Phi((l_i-s_i)/h_i)]

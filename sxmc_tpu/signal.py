@@ -86,7 +86,14 @@ class Systematic:
             sigmas = [0.0] * len(means)
         truth_field = ""
         if type_id == transforms.RESOLUTION_SCALE:
-            truth_field = config["truth_field"]
+            # The reference's code asserts "truth_field"
+            # (systematic.cpp:32) but its shipped config/example.json
+            # uses "true_field" (example.json:46) — accept both so the
+            # reference's own example parses unmodified.
+            if "truth_field" in config:
+                truth_field = config["truth_field"]
+            else:
+                truth_field = config["true_field"]
         return cls(
             name=name, title=config["title"], type=type_id,
             observable_field=config["observable_field"],

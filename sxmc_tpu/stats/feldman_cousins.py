@@ -75,7 +75,7 @@ class FeldmanCousins:
             per_point.append(make_fake_dataset_batch(
                 keys[gi], self._signals, self._systematics,
                 self._observables, ntoys, poisson=True, stack=mle.stack,
-                rates={self.signal_name: float(r)}))
+                rates=self._toy_rates(float(r))))
         nev_max = max(max(p.shape[1] for p in per_point), 1)
         width = per_point[0].shape[2]
         batch = np.full((len(r_grid) * ntoys, nev_max, width), -1.0,
@@ -130,6 +130,23 @@ class FeldmanCousins:
         return self.interval(data, belt)
 
     # ------------------------------------------------------------------
+
+    def _toy_rates(self, r: float) -> Dict[str, float]:
+        """Injection rates for belt toys, keyed by SIGNAL name.
+
+        ``signal_name`` is a parameter (source) name: every signal fed
+        by that source is injected at ``r``; all other signals are
+        generated at their sources' nominal means (plug-in values) —
+        the same mapping HypoTest._toy_stats uses.
+        """
+        rates = {}
+        for sig in self.mle.signals:
+            if sig.source.index == self.k:
+                rates[sig.name] = r
+            else:
+                base = self.mle.parameter_means[sig.source.index]
+                rates[sig.name] = max(float(base), 0.0)
+        return rates
 
     @property
     def _signals(self):

@@ -189,6 +189,29 @@ class MLE(MCMC):
             read_bins, device_data, self.maxiter)
         return np.asarray(pnll)
 
+    def conditional_fit(self, name: str, value: float,
+                        result: Optional[FitResult] = None) -> np.ndarray:
+        """Conditional ("hat-hat") fit: re-optimize the other free rates
+        with ``name`` pinned at ``value``.
+
+        Returns the full parameter vector of the conditional optimum —
+        the standard CLs/q0 prescription generates each hypothesis'
+        toys at this point (nuisances refit with r pinned), not at the
+        unconditional best fit.  Floating systematics are held at the
+        global-fit optimum (profile approximation).
+        """
+        result, read_bins, device_data = self._ensure_fit(result)
+        k = self.parameter_names.index(name)
+        free = tuple(i for i in self._free_rates if i != k)
+        theta_hat = np.asarray(result.params[self.nsources:], np.float32)
+        q_init = self._q_from_params(result.params)
+        qhat, _, _ = _solve_rates_pinned(
+            self, jnp.float32(value), k, free, jnp.asarray(q_init),
+            jnp.asarray(theta_hat), read_bins, device_data, self.maxiter)
+        params = self._assemble(np.asarray(qhat), theta_hat)
+        params[k] = value
+        return params
+
     def profile_interval(self, name: str, cl: float = 0.683,
                          result: Optional[FitResult] = None,
                          ngrid: int = 41) -> Interval:
@@ -261,10 +284,34 @@ class MLE(MCMC):
 
     def _hessian_covariance(self, params, read_bins, device_data):
         free = ~self.parameter_fixed
+        free_idx = np.where(free)[0]
         h = _free_hessian(self, jnp.asarray(params, jnp.float32),
-                          tuple(int(i) for i in np.where(free)[0]),
+                          tuple(int(i) for i in free_idx),
                           read_bins, device_data)
         h = np.asarray(h, np.float64)
+        # A floating systematic with no Gaussian constraint (sigma = 0)
+        # has zero curvature everywhere (its event term is
+        # piecewise-constant by design), leaving a zero row/column.
+        # pinv would silently report zero variance; surface NaN instead.
+        degenerate = np.all(h == 0.0, axis=1)
+        if degenerate.any():
+            import warnings
+
+            names = [self.parameter_names[free_idx[i]]
+                     for i in np.where(degenerate)[0]]
+            warnings.warn(
+                "Hessian is singular: parameter(s) "
+                f"{names} have no curvature (unconstrained floating "
+                "systematic?); their errors are NaN.")
+            keep = ~degenerate
+            cov = np.full_like(h, np.nan)
+            sub = h[np.ix_(keep, keep)]
+            try:
+                cov_sub = np.linalg.inv(sub)
+            except np.linalg.LinAlgError:
+                cov_sub = np.linalg.pinv(sub)
+            cov[np.ix_(keep, keep)] = cov_sub
+            return cov
         try:
             cov = np.linalg.inv(h)
         except np.linalg.LinAlgError:
@@ -383,6 +430,30 @@ def _solve_rates(mle: MLE, theta, q0, free_idx, read_bins, device_data,
     x0 = q0[jnp.asarray(free_idx, jnp.int32)]
     x, f, ok = _bfgs(fun, x0, maxiter)
     qhat = q0.at[jnp.asarray(free_idx, jnp.int32)].set(x)
+    return qhat, f, ok
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mle", "k", "free_idx", "maxiter"))
+def _solve_rates_pinned(mle: MLE, v, k: int, free_idx, q0, theta,
+                        read_bins, device_data, maxiter: int):
+    """Optimize the free rates with rate ``k`` pinned at ``v``."""
+    lut, norms = mle.stack.evaluate(theta, read_bins, device_data)
+    base = jnp.concatenate([
+        jnp.asarray(mle.parameter_means[:mle.nsources], jnp.float32),
+        theta]).at[k].set(v)
+    idx = jnp.asarray(free_idx, jnp.int32)
+
+    def fun(qf):
+        r = jnp.exp(jnp.clip(qf, -_LOG_CLAMP, _LOG_CLAMP))
+        params = base.at[idx].set(r) if free_idx else base
+        return nll_fn(params, lut, norms, mle.static)
+
+    if not free_idx:
+        return q0, fun(jnp.zeros((0,), jnp.float32)), jnp.bool_(True)
+    x0 = q0[idx]
+    x, f, ok = _bfgs(fun, x0, maxiter)
+    qhat = q0.at[idx].set(x)
     return qhat, f, ok
 
 
