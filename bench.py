@@ -228,7 +228,7 @@ def bench_mcmc():
         def f(p0, nll0, w0, rb, *dd):
             out = metropolis.run_segment(mcmc, p0, nll0, w0, rb, dd,
                                          jax.random.PRNGKey(1), nsteps)
-            return out[1]  # final NLL (scalar readback)
+            return out[1][0]  # final NLL hi part (scalar readback)
         return f
 
     n1, n2 = 1000, 5000
@@ -260,7 +260,7 @@ def bench_mcmc():
         def f(p0, nll0, w0, rb, *dd):
             keys = jax.random.split(jax.random.PRNGKey(3), nchains)
             run = lambda k: metropolis.run_segment(  # noqa: E731
-                mcmc, p0, nll0, w0, rb, dd, k, nsteps)[1]
+                mcmc, p0, nll0, w0, rb, dd, k, nsteps)[1][0]
             return jax.vmap(run)(keys).sum()
         return f
 

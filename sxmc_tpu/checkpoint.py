@@ -59,14 +59,16 @@ def run_checkpointed(
 
     state = load_chain_state(checkpoint_path)
     if state is None:
-        params, nll, width = (np.asarray(x) for x in
-                              metropolis.initial_state(mcmc, rb, dd))
+        params, (nll_hi, nll_lo), width = metropolis.initial_state(
+            mcmc, rb, dd)
         state = {
-            "params": params, "nll": np.float32(nll), "width": width,
+            "params": np.asarray(params),
+            "nll_hi": np.float32(nll_hi), "nll_lo": np.float32(nll_lo),
+            "width": np.asarray(width),
             "key": np.asarray(jax.random.PRNGKey(seed)),
             "step": np.int64(0),
             "kept": np.zeros((0, mcmc.nparameters), np.float32),
-            "kept_nll": np.zeros((0,), np.float32),
+            "kept_nll": np.zeros((0,), np.float64),
             "phase_samples": np.zeros((0, mcmc.nparameters), np.float32),
         }
     total = int(state["step"])
@@ -83,11 +85,12 @@ def run_checkpointed(
         key, seg_key = jax.random.split(key)
         params, nll, samples, nlls, acc = metropolis.run_segment(
             mcmc, jnp.asarray(state["params"]),
-            jnp.asarray(state["nll"]), jnp.asarray(state["width"]),
+            (jnp.asarray(state["nll_hi"]), jnp.asarray(state["nll_lo"])),
+            jnp.asarray(state["width"]),
             rb, dd, seg_key, n, debug_mode)
 
         samples = np.asarray(samples)
-        nlls = np.asarray(nlls)
+        nlls = metropolis.nll_history_to_f64(nlls)
         in_burnin = bound != nsteps
         if in_burnin:
             state["phase_samples"] = np.concatenate(
@@ -112,7 +115,8 @@ def run_checkpointed(
                 (0, mcmc.nparameters), np.float32)
 
         state.update({
-            "params": np.asarray(params), "nll": np.float32(nll),
+            "params": np.asarray(params),
+            "nll_hi": np.float32(nll[0]), "nll_lo": np.float32(nll[1]),
             "width": width, "key": np.asarray(key),
             "step": np.int64(total),
         })

@@ -33,12 +33,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sxmc_tpu.ops.nll import NLLStatic, nll as nll_fn
+from sxmc_tpu.ops.nll import (NLLStatic, df_diff, nll as nll_fn,
+                              nll_pair as nll_pair_fn)
 from sxmc_tpu.pdf.stack import PdfStack
 from sxmc_tpu.signal import Observable, Signal, Source, Systematic
 from sxmc_tpu.stats.likelihood import LikelihoodSpace
 
 HAARIO = 2.4 * 2.4  # Haario et al. 2001 proposal scaling (mcmc.cpp:199)
+
+
+def nll_history_to_f64(nll_pair_hist) -> np.ndarray:
+    """Chain NLL history (hi, lo) pair -> f64 values on the host.
+
+    The chain carries the NLL as compensated f32 pairs (the TPU-native
+    stand-in for the reference's double accumulators); summing the
+    parts in host f64 recovers the full ~48-bit precision, so interval
+    dNLL cuts stay exact even when |NLL| ~ 10^7.
+    """
+    hi, lo = nll_pair_hist
+    return np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
 
 
 class MCMC:
@@ -153,15 +166,21 @@ class MCMC:
             key = jax.random.PRNGKey(seed)
         chain_keys = jax.random.split(key, nchains)
 
-        runner = _run_chains_pooled if (pool_adaptation and nchains > 1) \
-            else _run_chains
+        if pool_adaptation and nchains > 1:
+            runner = _run_chains_pooled
+        elif nchains > 1:
+            # Lock-step chains: the nchains PDF rebuilds of each step
+            # are one fused (chains x signals) kernel launch.
+            runner = _run_chains_batched
+        else:
+            runner = _run_chains
         samples, nlls, accept_rate = runner(
             self, chain_keys, self.stack._read_bins,
             self.stack.device_data, nsteps, burnin_steps, debug_mode)
 
         # Pool chains: (nchains, nkeep, npar) -> (nchains * nkeep, npar).
         samples = np.asarray(samples).reshape(-1, self.nparameters)
-        nlls = np.asarray(nlls).reshape(-1)
+        nlls = nll_history_to_f64(nlls).reshape(-1)
         self.last_accept_rate = float(np.mean(np.asarray(accept_rate)))
         return LikelihoodSpace.from_arrays(
             samples, nlls, self.parameter_names)
@@ -188,6 +207,9 @@ def run_segment(mcmc: MCMC, params, cur_nll, width, read_bins,
                 device_data, key, nsteps: int, debug_mode: bool = False):
     """Run one fixed-width chain segment; returns carry + history.
 
+    ``cur_nll`` and the returned NLL history are compensated (hi, lo)
+    f32 pairs (see :func:`nll_history_to_f64`).
+
     Building block for mid-chain checkpointing (sxmc_tpu.checkpoint):
     the chain state (params, nll, width, key) is explicit, so a killed
     run resumes exactly where the last segment ended — a capability the
@@ -202,7 +224,7 @@ def run_segment(mcmc: MCMC, params, cur_nll, width, read_bins,
 
 @functools.partial(jax.jit, static_argnames=("mcmc",))
 def initial_state(mcmc: MCMC, read_bins, device_data):
-    """Initial (params, nll, width) for a chain."""
+    """Initial (params, nll_pair, width) for a chain."""
     params0 = jnp.asarray(mcmc.parameter_means, jnp.float32)
     nll0 = _chain_nll(mcmc, read_bins, device_data)(params0)
     width0 = jnp.asarray(mcmc.initial_jump_widths())
@@ -219,6 +241,7 @@ def retune_width(mcmc: MCMC, width, phase_samples):
 
 
 def _chain_nll(mcmc: MCMC, read_bins, device_data):
+    """theta -> compensated (hi, lo) NLL pair for one chain."""
     st = mcmc.static
     nsources = mcmc.nsources
     stack = mcmc.stack
@@ -233,7 +256,7 @@ def _chain_nll(mcmc: MCMC, read_bins, device_data):
                                         device_data)
         else:
             lut, norms = lut0, norms0
-        return nll_fn(params, lut, norms, st)
+        return nll_pair_fn(params, lut, norms, st)
 
     return chain_nll
 
@@ -242,19 +265,24 @@ def _make_step(mcmc: MCMC, read_bins, device_data, debug_mode: bool):
     chain_nll = _chain_nll(mcmc, read_bins, device_data)
 
     def step(carry, step_key):
-        params, cur_nll, width = carry
+        params, (cur_hi, cur_lo), width = carry
         k_prop, k_accept = jax.random.split(step_key)
         noise = jax.random.normal(k_prop, params.shape) * jnp.maximum(
             width, 0.0)
         proposed = jnp.where(width > 0, params + noise, params)
-        prop_nll = chain_nll(proposed)
+        prop_hi, prop_lo = chain_nll(proposed)
         u = jax.random.uniform(k_accept, ())
-        accept = debug_mode | (prop_nll < cur_nll) | \
-            (u <= jnp.exp(cur_nll - prop_nll))
+        # delta = cur - prop, accurate via the compensated pairs: at
+        # NLL ~ 10^7 a plain f32 difference would quantize at ~1 and
+        # corrupt the accept ratio (the reference compares doubles,
+        # nll_kernels.cpp:66-77).
+        delta = df_diff(cur_hi, cur_lo, prop_hi, prop_lo)
+        accept = debug_mode | (delta > 0) | (u <= jnp.exp(delta))
         params = jnp.where(accept, proposed, params)
-        cur_nll = jnp.where(accept, prop_nll, cur_nll)
-        return ((params, cur_nll, width),
-                (params, cur_nll, accept.astype(jnp.float32)))
+        cur_hi = jnp.where(accept, prop_hi, cur_hi)
+        cur_lo = jnp.where(accept, prop_lo, cur_lo)
+        return ((params, (cur_hi, cur_lo), width),
+                (params, (cur_hi, cur_lo), accept.astype(jnp.float32)))
 
     return step
 
@@ -323,9 +351,124 @@ def _run_chains_pooled(mcmc: MCMC, chain_keys, read_bins, device_data,
         outs.append((s3, n3, a3))
 
     samples = jnp.concatenate([o[0] for o in outs], axis=1)
-    nlls = jnp.concatenate([o[1] for o in outs], axis=1)
+    nlls = (jnp.concatenate([o[1][0] for o in outs], axis=1),
+            jnp.concatenate([o[1][1] for o in outs], axis=1))
     accepts = jnp.concatenate([o[2] for o in outs], axis=1)
     return samples, nlls, accepts.mean(axis=1)
+
+
+def _chain_nll_batch(mcmc: MCMC, read_bins, device_data, nchains: int):
+    """(nchains, nparams) -> compensated (hi, lo) arrays of (nchains,).
+
+    With floating systematics the nchains PDF rebuilds collapse into
+    ONE batched kernel launch (PdfStack.evaluate_batch) instead of
+    nchains independent rebuilds under vmap.
+    """
+    st = mcmc.static
+    nsources = mcmc.nsources
+    stack = mcmc.stack
+    syst_float = (mcmc.nsystematics > 0) and not mcmc.systematics_fixed
+    if not syst_float:
+        theta0 = jnp.asarray(mcmc.parameter_means[nsources:], jnp.float32)
+        lut0, norms0 = stack.evaluate(theta0, read_bins, device_data)
+
+        def batch_nll(params):
+            return jax.vmap(
+                lambda p: nll_pair_fn(p, lut0, norms0, st))(params)
+    else:
+        def batch_nll(params):
+            luts, norms = stack.evaluate_batch(
+                params[:, nsources:], read_bins, device_data)
+            return jax.vmap(nll_pair_fn, in_axes=(0, 0, 0, None))(
+                params, luts, norms, st)
+
+    return batch_nll
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mcmc", "nsteps", "burnin_steps", "debug_mode"))
+def _run_chains_batched(mcmc: MCMC, chain_keys, read_bins, device_data,
+                        nsteps: int, burnin_steps: int,
+                        debug_mode: bool):
+    """All chains advance in lock-step; each step's nchains PDF
+    rebuilds are one fused kernel launch (the chains x signals batched
+    build).  Same phase/retune semantics as :func:`_run_single_chain`,
+    retuned per chain."""
+    nchains = chain_keys.shape[0]
+    batch_nll = _chain_nll_batch(mcmc, read_bins, device_data, nchains)
+    fixed = jnp.asarray(mcmc.parameter_fixed)
+    sf = HAARIO / max(mcmc.nfloat, 1)
+
+    def step(carry, keys_c):
+        params, (cur_hi, cur_lo), width = carry
+        kp = keys_c[:, 0]
+        ka = keys_c[:, 1]
+        noise = jax.vmap(
+            lambda k, p: jax.random.normal(k, p.shape))(kp, params)
+        noise = noise * jnp.maximum(width, 0.0)
+        proposed = jnp.where(width > 0, params + noise, params)
+        prop_hi, prop_lo = batch_nll(proposed)
+        u = jax.vmap(lambda k: jax.random.uniform(k, ()))(ka)
+        delta = df_diff(cur_hi, cur_lo, prop_hi, prop_lo)
+        accept = debug_mode | (delta > 0) | (u <= jnp.exp(delta))
+        params = jnp.where(accept[:, None], proposed, params)
+        cur_hi = jnp.where(accept, prop_hi, cur_hi)
+        cur_lo = jnp.where(accept, prop_lo, cur_lo)
+        return ((params, (cur_hi, cur_lo), width),
+                (params, (cur_hi, cur_lo), accept.astype(jnp.float32)))
+
+    def phase_keys(ks, n):
+        # (nchains, n, 2, ...) -> (n, nchains, 2, ...) scan xs.
+        split = jax.vmap(lambda k: jax.random.split(k, 2 * n).reshape(
+            n, 2, -1))(ks)
+        return jnp.moveaxis(split, 0, 1)
+
+    def run_phase(carry, ks, n):
+        return jax.lax.scan(step, carry, phase_keys(ks, n))
+
+    def retune(width, phase_samples):
+        rms = jnp.std(phase_samples, axis=0)  # (nchains, nparams)
+        new = jnp.where(rms > 0, sf * rms, width)
+        return jnp.where(fixed[None, :], -1.0, new)
+
+    params0 = jnp.broadcast_to(
+        jnp.asarray(mcmc.parameter_means, jnp.float32),
+        (nchains, mcmc.nparameters))
+    nll0 = batch_nll(params0)
+    width0 = jnp.broadcast_to(
+        jnp.asarray(mcmc.initial_jump_widths()),
+        (nchains, mcmc.nparameters))
+    carry = (params0, nll0, width0)
+
+    keys3 = jax.vmap(lambda k: jax.random.split(k, 3))(chain_keys)
+    outs = []
+    if burnin_steps > 0:
+        carry, (s1, n1, a1) = run_phase(carry, keys3[:, 0], burnin_steps)
+        p, c, w = carry
+        carry = (p, c, retune(w, s1))
+        carry, (s2, n2, a2) = run_phase(carry, keys3[:, 1], burnin_steps)
+        p, c, w = carry
+        carry = (p, c, retune(w, s2))
+        if debug_mode:
+            outs += [(s1, n1, a1), (s2, n2, a2)]
+
+    remaining = max(nsteps - (2 * burnin_steps if burnin_steps > 0
+                              else 0), 0)
+    if remaining > 0:
+        carry, (s3, n3, a3) = run_phase(carry, keys3[:, 2], remaining)
+        outs.append((s3, n3, a3))
+
+    # (nsteps, nchains, ...) -> (nchains, nsteps, ...) to match
+    # _run_chains' output convention.
+    samples = jnp.moveaxis(
+        jnp.concatenate([o[0] for o in outs], axis=0), 0, 1)
+    nlls = (jnp.moveaxis(
+        jnp.concatenate([o[1][0] for o in outs], axis=0), 0, 1),
+        jnp.moveaxis(
+            jnp.concatenate([o[1][1] for o in outs], axis=0), 0, 1))
+    accepts = jnp.concatenate([o[2] for o in outs], axis=0)
+    return samples, nlls, accepts.mean(axis=0)
 
 
 def run_experiment_batch(mcmc: MCMC, keys, read_bins_batch,
@@ -382,6 +525,7 @@ def _run_single_chain(mcmc: MCMC, key, read_bins, device_data, *,
         outs.append((s3, n3, a3))
 
     samples = jnp.concatenate([o[0] for o in outs], axis=0)
-    nlls = jnp.concatenate([o[1] for o in outs], axis=0)
+    nlls = (jnp.concatenate([o[1][0] for o in outs], axis=0),
+            jnp.concatenate([o[1][1] for o in outs], axis=0))
     accepts = jnp.concatenate([o[2] for o in outs], axis=0)
     return samples, nlls, accepts.mean()

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sxmc_tpu.mcmc.metropolis import MCMC, _chain_nll
+from sxmc_tpu.mcmc.metropolis import MCMC, _chain_nll, nll_history_to_f64
+from sxmc_tpu.ops.nll import df_diff
 from sxmc_tpu.stats.likelihood import LikelihoodSpace
 
 
@@ -67,7 +68,7 @@ class StretchSampler(MCMC):
             self.stack.device_data, nsteps, burnin, debug_mode)
 
         samples = np.asarray(samples).reshape(-1, self.nparameters)
-        nlls = np.asarray(nlls).reshape(-1)
+        nlls = nll_history_to_f64(nlls).reshape(-1)
         self.last_accept_rate = float(np.mean(np.asarray(accept)))
         return LikelihoodSpace.from_arrays(
             samples, nlls, self.parameter_names)
@@ -107,7 +108,7 @@ def _run_stretch_single(s: StretchSampler, key, read_bins, device_data, *,
     floor = 1e-4 * jnp.maximum(jnp.abs(means), 1.0)
     walkers = jnp.where(is_rate & free,
                         jnp.maximum(walkers, floor), walkers)
-    wnll = nll_batch(walkers)
+    wnll = nll_batch(walkers)  # compensated (hi, lo) pair of (K,) arrays
 
     def half_update(active, active_nll, other, step_key):
         """Stretch-move one half against the other (vectorized)."""
@@ -118,22 +119,27 @@ def _run_stretch_single(s: StretchSampler, key, read_bins, device_data, *,
         prop = partners + z[:, None] * (active - partners)
         prop = jnp.where(free, prop, active)
         pnll = nll_batch(prop)
-        log_acc = (d - 1.0) * jnp.log(z) + (active_nll - pnll)
+        delta = df_diff(active_nll[0], active_nll[1], pnll[0], pnll[1])
+        log_acc = (d - 1.0) * jnp.log(z) + delta
         accept = debug_mode | (
             jnp.log(jax.random.uniform(k_acc, (half,))) < log_acc)
         new = jnp.where(accept[:, None], prop, active)
-        new_nll = jnp.where(accept, pnll, active_nll)
+        new_nll = (jnp.where(accept, pnll[0], active_nll[0]),
+                   jnp.where(accept, pnll[1], active_nll[1]))
         return new, new_nll, accept
 
     def step(carry, step_key):
         walkers, wnll = carry
         k0, k1 = jax.random.split(step_key)
-        w0_, n0 = walkers[:half], wnll[:half]
-        w1_, n1 = walkers[half:], wnll[half:]
+        w0_ = walkers[:half]
+        n0 = (wnll[0][:half], wnll[1][:half])
+        w1_ = walkers[half:]
+        n1 = (wnll[0][half:], wnll[1][half:])
         w0_, n0, a0 = half_update(w0_, n0, w1_, k0)
         w1_, n1, a1 = half_update(w1_, n1, w0_, k1)
         walkers = jnp.concatenate([w0_, w1_])
-        wnll = jnp.concatenate([n0, n1])
+        wnll = (jnp.concatenate([n0[0], n1[0]]),
+                jnp.concatenate([n0[1], n1[1]]))
         acc = jnp.concatenate([a0, a1]).astype(jnp.float32).mean()
         return (walkers, wnll), (walkers, wnll, acc)
 
@@ -142,5 +148,6 @@ def _run_stretch_single(s: StretchSampler, key, read_bins, device_data, *,
 
     # Discard burn-in, pool walkers: (nsteps, K, npar) -> (kept*K, npar).
     kept = hist[burnin:].reshape(-1, npar)
-    kept_nll = hist_nll[burnin:].reshape(-1)
+    kept_nll = (hist_nll[0][burnin:].reshape(-1),
+                hist_nll[1][burnin:].reshape(-1))
     return kept, kept_nll, accs.mean()

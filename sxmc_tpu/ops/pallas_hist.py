@@ -258,6 +258,245 @@ def pallas_histogram(
     return out.reshape(-1)[:all_bins].astype(jnp.float32)
 
 
+# ---------------------------------------------------------------------------
+# Per-segment variant: the realistic many-signal path.
+#
+# The global two-level split above spans nsegments * total_nbins bins, so
+# its per-sample one-hot cost grows with the signal count (~355 lanes for
+# the 29-signal benchmark mix, bench_sxmc.cpp:105-225).  But the samples
+# arrive SORTED by segment (PdfStack concatenates per signal), so padding
+# each segment up to a chunk multiple makes every grid step single-
+# segment: the one-hot split then only spans total_nbins (b1 + b2 ~ 64
+# for 1000 bins), and the per-segment routing collapses to one cheap
+# broadcasted mask on the (nsegments, b1, b2) accumulator.
+
+
+def _make_per_segment_kernel(nfields, nobs, systematics, lower, upper,
+                             nbins, b1, b2, b2_shift, chunk, nsegments,
+                             nchains):
+    strides = hist_ops.bin_strides(nbins)
+    scales = tuple(nbins[i] / (upper[i] - lower[i]) for i in range(nobs))
+    g = chunk // LANES
+    batched = nchains is not None
+    nch = nchains if batched else 1
+
+    def kernel(theta_ref, seg_map_ref, mask_ref, samples_ref, out_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        sid = seg_map_ref[0, pl.program_id(0)]
+
+        raw_cols = [samples_ref[f] for f in range(nfields)]
+
+        # Per-chunk systematic activity: a scalar load from the SMEM
+        # mask matrix replaces the per-sample segment-compare masks of
+        # the global kernel.
+        seg_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (out_ref.shape[0] if not batched else
+                        out_ref.shape[1], b1, 1), 0)
+        seg_onehot = (seg_iota == sid).astype(jnp.float32)
+
+        for c in range(nch):
+            systs = []
+            for desc, mrow in systematics:
+                if mrow is None:
+                    systs.append((desc, None))
+                else:
+                    on = mask_ref[mrow, sid] > 0
+                    systs.append((desc, on))
+            cols = list(raw_cols)
+            for desc, on in systs:
+                x = cols[desc.obs]
+                p = jnp.zeros_like(x)
+                xi = jnp.ones_like(x)
+                for i, pidx in enumerate(desc.par_indices):
+                    if i > 0:
+                        xi = xi * x
+                    p = p + theta_ref[c, pidx] * xi
+                if desc.type == transforms.SHIFT:
+                    new = x + p
+                elif desc.type == transforms.SCALE:
+                    new = x * (1.0 + p)
+                elif desc.type == transforms.CTSCALE:
+                    new = 1.0 + (x - 1.0) * (1.0 + p)
+                elif desc.type == transforms.RESOLUTION_SCALE:
+                    new = x + p * (x - cols[desc.extra_field])
+                else:
+                    raise ValueError(f"bad systematic type {desc.type}")
+                if on is None:
+                    cols[desc.obs] = new
+                else:
+                    cols[desc.obs] = jnp.where(on, new, x)
+
+            valid = jnp.ones((g, LANES), dtype=jnp.bool_)
+            ids = jnp.zeros((g, LANES), dtype=jnp.int32)
+            for i in range(nobs):
+                x = cols[i]
+                valid &= (x >= lower[i]) & (x < upper[i])
+                axis = jnp.floor(
+                    (x - lower[i]) * scales[i]).astype(jnp.int32)
+                axis = jnp.clip(axis, 0, nbins[i] - 1)
+                ids += axis * strides[i]
+            ids = jnp.where(valid, ids, -1)
+
+            ids_row = ids.reshape(1, chunk)
+            valid_row = ids_row >= 0
+            pos = jnp.maximum(ids_row, 0)
+            lo = pos & (b2 - 1)
+            hi = pos >> b2_shift
+            lo_iota = jax.lax.broadcasted_iota(jnp.int32, (b2, chunk), 0)
+            hi_iota = jax.lax.broadcasted_iota(jnp.int32, (b1, chunk), 0)
+            onehot_lo = (lo == lo_iota).astype(jnp.bfloat16)
+            onehot_hi = ((hi == hi_iota) & valid_row).astype(jnp.bfloat16)
+            part = jax.lax.dot_general(
+                onehot_hi, onehot_lo, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # Route the (b1, b2) partial into this chunk's segment row.
+            if batched:
+                out_ref[c] += seg_onehot * part[None, :, :]
+            else:
+                out_ref[:] += seg_onehot * part[None, :, :]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nfields", "nobs", "systematics", "lower", "upper",
+                     "nbins", "nsegments", "chunk", "interpret"))
+def pallas_histogram_segmented(
+    samples_t3: jnp.ndarray,
+    chunk_seg: jnp.ndarray,
+    mask_matrix: jnp.ndarray,
+    theta: jnp.ndarray,
+    *,
+    nfields: int,
+    nobs: int,
+    systematics: Tuple = (),
+    lower: Tuple[float, ...],
+    upper: Tuple[float, ...],
+    nbins: Tuple[int, ...],
+    nsegments: int,
+    chunk: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Per-segment fused histogram: one signal per grid step.
+
+    Args:
+        samples_t3: packed samples from :func:`pack_samples_per_segment`
+            (``(nfields, npad // 128, 128)``; every chunk single-segment).
+        chunk_seg: ``(1, nchunks)`` int32 — segment id of each chunk.
+        mask_matrix: ``(nmasked, nsegments)`` int32 — row r holds the
+            per-segment application mask of the r-th masked systematic
+            (1 row minimum).
+        theta: ``(nparams,)`` for one build or ``(nchains, nparams)``
+            for a batched multi-chain build (chains share the samples;
+            one kernel reads each chunk once and unrolls the chains).
+        systematics: static tuple of ``(SystematicDesc, mask_row)`` with
+            ``mask_row`` None (all segments) or an int row into
+            ``mask_matrix``.
+
+    Returns:
+        ``(nsegments * total_nbins,)`` f32 counts, or
+        ``(nchains, nsegments * total_nbins)`` when theta is 2-D.
+    """
+    nrows, npad_g, lanes = samples_t3.shape
+    assert lanes == LANES and nrows == nfields
+    npad = npad_g * LANES
+    assert npad % chunk == 0
+    g = chunk // LANES
+    grid = npad // chunk
+
+    total = hist_ops.total_bins(nbins)
+    b1, b2, b2_shift = _balanced_split(total)
+
+    batched = theta.ndim == 2
+    nchains = theta.shape[0] if batched else None
+    theta2 = theta if batched else theta[None, :]
+    npar = max(theta2.shape[1], 1)
+    theta_pad = jnp.zeros((theta2.shape[0], npar), jnp.float32)
+    theta_pad = theta_pad.at[:, :theta2.shape[1]].set(theta2)
+
+    kernel = _make_per_segment_kernel(
+        nfields, nobs, tuple(systematics), tuple(lower), tuple(upper),
+        tuple(nbins), b1, b2, b2_shift, chunk, nsegments, nchains)
+
+    out_shape = ((nchains, nsegments, b1, b2) if batched
+                 else (nsegments, b1, b2))
+    out_block = out_shape
+    nmask = mask_matrix.shape[0]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((theta_pad.shape[0], npar), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, grid), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nmask, nsegments), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nfields, g, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            out_block, (lambda i: (0, 0, 0, 0)) if batched
+            else (lambda i: (0, 0, 0)),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        interpret=interpret,
+    )(theta_pad, chunk_seg, mask_matrix, samples_t3)
+
+    flat = out.reshape(*out_shape[:-2], b1 * b2)[..., :total]
+    if batched:
+        return flat.reshape(nchains, nsegments * total)
+    return flat.reshape(nsegments * total)
+
+
+def pack_samples_per_segment(
+    samples: np.ndarray,
+    lower: Sequence[float],
+    segment_ids: np.ndarray,
+    nsegments: int,
+    chunk: int = 16384,
+):
+    """Host-side packing for the per-segment kernel.
+
+    Sorts rows by segment (stable; PdfStack input is already sorted)
+    and pads every segment up to a multiple of ``chunk`` with
+    out-of-domain rows, so each kernel chunk holds exactly one segment.
+
+    Returns:
+        (packed, chunk_seg): ``(nfields, npad/128, 128)`` f32 and
+        ``(1, nchunks)`` int32 segment-of-chunk map.
+    """
+    samples = np.asarray(samples, np.float32)
+    segment_ids = np.asarray(segment_ids, np.int64)
+    n, nfields = samples.shape
+    order = np.argsort(segment_ids, kind="stable")
+    if not np.array_equal(order, np.arange(n)):
+        samples = samples[order]
+        segment_ids = segment_ids[order]
+
+    counts = np.bincount(segment_ids, minlength=nsegments)
+    padded_counts = np.maximum(-(-counts // chunk) * chunk, chunk)
+    npad = int(padded_counts.sum())
+
+    out = np.full((nfields, npad), np.float32(lower[0] - 1e9), np.float32)
+    chunk_seg = np.empty(npad // chunk, np.int32)
+    dst = 0
+    src = 0
+    for s in range(nsegments):
+        c = int(counts[s])
+        out[:, dst:dst + c] = samples[src:src + c].T
+        chunk_seg[dst // chunk:(dst + padded_counts[s]) // chunk] = s
+        dst += int(padded_counts[s])
+        src += c
+    return (out.reshape(nfields, npad // LANES, LANES),
+            chunk_seg[None, :])
+
+
 def pack_samples(
     samples: np.ndarray,
     lower: Sequence[float],

@@ -26,9 +26,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from sxmc_tpu.mcmc.metropolis import MCMC, HAARIO
+from sxmc_tpu.mcmc.metropolis import MCMC, HAARIO, nll_history_to_f64
 from sxmc_tpu.ops import histogram as hist_ops
-from sxmc_tpu.ops.nll import BARRIER, signal_weights
+from sxmc_tpu.ops.nll import (BARRIER, df_add, df_diff, df_sum,
+                              signal_weights, two_sum)
 from sxmc_tpu.pdf import evalhist
 from sxmc_tpu.pdf.stack import _apply_masked_systematics
 from sxmc_tpu.stats.likelihood import LikelihoodSpace
@@ -106,6 +107,13 @@ def run_sharded_chain(
         return hists, hists.sum(axis=1)
 
     def sharded_nll(params, samples_l, seg_l, rb_l, hists0, norms0):
+        """Compensated (hi, lo) NLL with the event sum psum'd.
+
+        Each shard accumulates its local log-sum as a TwoSum pair (the
+        double-accumulation analog of nll_kernels.cpp:89-116); the hi
+        and lo parts psum independently — the lo parts are ~ulp-sized,
+        so their plain-f32 all-reduce is exact to second order.
+        """
         if syst_float:
             hists, norms = local_hists(samples_l, seg_l,
                                        params[nsources:])
@@ -118,20 +126,27 @@ def run_sharded_chain(
         lut0 = jnp.nan_to_num(lut, nan=0.0)
         s = jnp.einsum("j,ji->i", w, lut0,
                        preferred_element_type=jnp.float32)
-        local = jnp.sum(jnp.where(s > 0,
-                                  jnp.log(jnp.where(s > 0, s, 1.0)), 0.0))
-        event_sum = jax.lax.psum(local, "event")
-        total = -event_sum + jnp.sum(w)
+        logs = jnp.where(s > 0, jnp.log(jnp.where(s > 0, s, 1.0)), 0.0)
+        l_hi, l_lo = df_sum(logs)
+        ev_hi = jax.lax.psum(l_hi, "event")
+        ev_lo = jax.lax.psum(l_lo, "event")
+        ev_hi, ev_lo = two_sum(ev_hi, ev_lo)
+
+        w_hi, w_lo = df_sum(w)
         constrained = st.sigmas > 0
         z = (params - st.means) / np.where(constrained, st.sigmas, 1.0)
-        total = total + 0.5 * jnp.sum(jnp.where(constrained, z * z, 0.0))
-        bad = jnp.any(params[:nsources] < 0) | ~jnp.isfinite(event_sum)
-        return jnp.where(bad, jnp.float32(BARRIER), total)
+        con = 0.5 * jnp.sum(jnp.where(constrained, z * z, 0.0))
+        hi, lo = df_add(-ev_hi, -ev_lo, w_hi, w_lo)
+        hi, lo = df_add(hi, lo, con, jnp.zeros_like(con))
+        bad = jnp.any(params[:nsources] < 0) | ~jnp.isfinite(ev_hi)
+        hi = jnp.where(bad, jnp.float32(BARRIER), hi)
+        lo = jnp.where(bad, jnp.float32(0.0), lo)
+        return hi, lo
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P("event"), P("event"), P(None, "event"), P()),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), (P(), P()), P()),
     )
     def run(samples_l, seg_l, rb_l, key):
         if not syst_float:
@@ -145,19 +160,21 @@ def run_sharded_chain(
                                hists0, norms0)
 
         def step(carry, step_key):
-            params, cur_nll, width = carry
+            params, (cur_hi, cur_lo), width = carry
             k_prop, k_accept = jax.random.split(step_key)
             noise = jax.random.normal(k_prop, params.shape) * \
                 jnp.maximum(width, 0.0)
             proposed = jnp.where(width > 0, params + noise, params)
-            prop_nll = chain_nll(proposed)
+            prop_hi, prop_lo = chain_nll(proposed)
             u = jax.random.uniform(k_accept, ())
-            accept = debug_mode | (prop_nll < cur_nll) | \
-                (u <= jnp.exp(cur_nll - prop_nll))
+            delta = df_diff(cur_hi, cur_lo, prop_hi, prop_lo)
+            accept = debug_mode | (delta > 0) | (u <= jnp.exp(delta))
             params = jnp.where(accept, proposed, params)
-            cur_nll = jnp.where(accept, prop_nll, cur_nll)
-            return ((params, cur_nll, width),
-                    (params, cur_nll, accept.astype(jnp.float32)))
+            cur_hi = jnp.where(accept, prop_hi, cur_hi)
+            cur_lo = jnp.where(accept, prop_lo, cur_lo)
+            return ((params, (cur_hi, cur_lo), width),
+                    (params, (cur_hi, cur_lo),
+                     accept.astype(jnp.float32)))
 
         def phase(carry, k, nsteps_phase):
             return jax.lax.scan(step, carry,
@@ -197,4 +214,5 @@ def run_sharded_chain(
 
     mcmc.last_accept_rate = float(np.asarray(accept))
     return LikelihoodSpace.from_arrays(
-        np.asarray(chain), np.asarray(nlls), mcmc.parameter_names)
+        np.asarray(chain), nll_history_to_f64(nlls),
+        mcmc.parameter_names)

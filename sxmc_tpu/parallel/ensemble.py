@@ -91,7 +91,7 @@ def run_sharded_ensemble(
     with mesh:
         samples, nlls, accept = jax.jit(batched)(keys, rb)
     samples = np.asarray(samples)  # (nexp, nchain, nkeep, npar)
-    nlls = np.asarray(nlls)
+    nlls = metropolis.nll_history_to_f64(nlls)
 
     lspaces = []
     limits = []

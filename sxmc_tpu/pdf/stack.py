@@ -133,17 +133,48 @@ class PdfStack:
         self.use_pallas = (jax.default_backend() == "tpu" and
                            not self.has_weights)
         self._packed = None
+        self._per_segment = False
         if self.use_pallas:
             from sxmc_tpu.ops import pallas_hist
 
-            self._packed = jnp.asarray(pallas_hist.pack_samples(
-                np.concatenate(sample_arrays, axis=0),
-                lower, segment_ids=seg))
-            self._pallas_systs = tuple(
-                (ms.desc,
-                 None if all(ms.signal_mask) else
-                 tuple(int(b) for b in ms.signal_mask))
-                for ms in self.systematics)
+            # Many-signal builds use the per-segment kernel: samples
+            # are segment-sorted and padded so each kernel chunk holds
+            # exactly one signal, keeping the one-hot split at
+            # O(sqrt(total_nbins)) instead of O(nsignals * nbins / 128)
+            # (the 5x pdfz_group gap of round 1).  Gated on the
+            # (nsignals, b1, b2) accumulator fitting VMEM comfortably.
+            b1, b2, _ = pallas_hist._balanced_split(self.total_nbins)
+            acc_bytes = self.nsignals * b1 * max(b2, 128) * 4
+            self._per_segment = (self.nsignals > 1 and
+                                 acc_bytes <= (4 << 20))
+            if self._per_segment:
+                self._seg_chunk = 16384
+                packed, chunk_seg = pallas_hist.pack_samples_per_segment(
+                    np.concatenate(sample_arrays, axis=0), lower, seg,
+                    self.nsignals, chunk=self._seg_chunk)
+                self._packed = jnp.asarray(packed)
+                self._chunk_seg = chunk_seg  # host numpy (embeds in jit)
+                rows = []
+                systs = []
+                for ms in self.systematics:
+                    if all(ms.signal_mask):
+                        systs.append((ms.desc, None))
+                    else:
+                        systs.append((ms.desc, len(rows)))
+                        rows.append([int(b) for b in ms.signal_mask])
+                self._pallas_systs = tuple(systs)
+                self._mask_matrix = (
+                    np.asarray(rows, np.int32) if rows
+                    else np.ones((1, self.nsignals), np.int32))
+            else:
+                self._packed = jnp.asarray(pallas_hist.pack_samples(
+                    np.concatenate(sample_arrays, axis=0),
+                    lower, segment_ids=seg))
+                self._pallas_systs = tuple(
+                    (ms.desc,
+                     None if all(ms.signal_mask) else
+                     tuple(int(b) for b in ms.signal_mask))
+                    for ms in self.systematics)
 
         self._read_bins = None  # (nsignals, nevents) after set_data
 
@@ -199,12 +230,24 @@ class PdfStack:
             from sxmc_tpu.ops import pallas_hist
 
             (packed,) = device_data
-            flat = pallas_hist.pallas_histogram(
-                packed, theta_syst,
-                nfields=self.samples.shape[1], nobs=self.nobservables,
-                systematics=self._pallas_systs,
-                lower=self.lower_host, upper=self.upper_host,
-                nbins=self.nbins, nsegments=self.nsignals)
+            if self._per_segment:
+                flat = pallas_hist.pallas_histogram_segmented(
+                    packed, self._chunk_seg, self._mask_matrix,
+                    theta_syst,
+                    nfields=self.samples.shape[1],
+                    nobs=self.nobservables,
+                    systematics=self._pallas_systs,
+                    lower=self.lower_host, upper=self.upper_host,
+                    nbins=self.nbins, nsegments=self.nsignals,
+                    chunk=self._seg_chunk)
+            else:
+                flat = pallas_hist.pallas_histogram(
+                    packed, theta_syst,
+                    nfields=self.samples.shape[1],
+                    nobs=self.nobservables,
+                    systematics=self._pallas_systs,
+                    lower=self.lower_host, upper=self.upper_host,
+                    nbins=self.nbins, nsegments=self.nsignals)
             hists = flat.reshape(self.nsignals, self.total_nbins)
             norms = hists.sum(axis=1)
         else:
@@ -279,6 +322,72 @@ class PdfStack:
         """Per-signal norm/n_mc at the given systematics."""
         _, norms = self.histograms(jnp.asarray(theta_syst, jnp.float32))
         return norms / self.n_mc
+
+    # ------------------------------------------------------------------
+    # Batched multi-chain evaluation: the nchains thetas of a vmapped
+    # sampler step become ONE kernel launch that reads every MC chunk
+    # once and unrolls the chains (vs nchains independent rebuilds).
+
+    def histograms_batch(self, thetas: jnp.ndarray, device_data=None
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(nchains, nsignals, total_nbins) counts + norms at thetas."""
+        thetas = jnp.asarray(thetas, jnp.float32)
+        if device_data is None:
+            device_data = self.device_data
+        if (self.use_pallas and self._per_segment and not self.has_kde):
+            from sxmc_tpu.ops import pallas_hist
+
+            packed = device_data[0]
+            flat = pallas_hist.pallas_histogram_segmented(
+                packed, self._chunk_seg, self._mask_matrix, thetas,
+                nfields=self.samples.shape[1], nobs=self.nobservables,
+                systematics=self._pallas_systs,
+                lower=self.lower_host, upper=self.upper_host,
+                nbins=self.nbins, nsegments=self.nsignals,
+                chunk=self._seg_chunk)
+            hists = flat.reshape(thetas.shape[0], self.nsignals,
+                                 self.total_nbins)
+            return hists, hists.sum(axis=2)
+        return jax.vmap(lambda t: self.histograms(t, device_data))(thetas)
+
+    def evaluate_batch(self, thetas: jnp.ndarray, read_bins=None,
+                       device_data=None
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Batched (lut, norms): thetas (nchains, nsyst) ->
+        ((nchains, nsignals, nevents), (nchains, nsignals))."""
+        if read_bins is None:
+            if self._read_bins is None:
+                raise RuntimeError("set_data() must be called first")
+            read_bins = self._read_bins
+        thetas = jnp.asarray(thetas, jnp.float32)
+        hists, norms = self.histograms_batch(thetas, device_data)
+        nchains = thetas.shape[0]
+        if self.use_pallas:
+            from sxmc_tpu.ops import pallas_hist
+
+            nev = read_bins.shape[-1]
+            chunk = min(pallas_hist.DEFAULT_CHUNK,
+                        max(-(-nev // 128) * 128, 128))
+            npad = -(-nev // chunk) * chunk
+            rb = jnp.pad(read_bins, ((0, 0), (0, npad - nev)),
+                         constant_values=-2)
+            rb = rb.reshape(self.nsignals, npad // 128, 128)
+            # Chains reuse the same read bins: the flattened
+            # (nchains * nsignals) segment axis walks hists in order.
+            rb_t = jnp.broadcast_to(
+                rb[None], (nchains,) + rb.shape).reshape(
+                    nchains * self.nsignals, npad // 128, 128)
+            lut = pallas_hist.pallas_eval_lut(
+                hists.reshape(-1), norms.reshape(-1), rb_t,
+                total_nbins=self.total_nbins,
+                nsegments=nchains * self.nsignals,
+                bin_volume=self.bin_volume, chunk=chunk)[:, :nev]
+            return lut.reshape(nchains, self.nsignals, nev), norms
+        lut = jax.vmap(
+            lambda h, n: jax.vmap(
+                evalhist.eval_from_bins, in_axes=(0, 0, None, 0))(
+                    h, n, self.bin_volume, read_bins))(hists, norms)
+        return lut, norms
 
 
 def _apply_masked_systematics(samples, segment_ids, theta, systematics,

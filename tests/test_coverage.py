@@ -40,7 +40,7 @@ def test_projection_interval_coverage():
     samples, nlls, _ = metropolis.run_experiment_batch(
         mcmc, keys, rb, dd, nsteps=6000, burnin_steps=1200)
     samples = np.asarray(samples)
-    nlls = np.asarray(nlls)
+    nlls = metropolis.nll_history_to_f64(nlls)
 
     covered = 0
     for i in range(nexp):

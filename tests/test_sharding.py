@@ -106,4 +106,5 @@ def test_sharded_ensemble_runs(fit):
     with mesh:
         samples, nlls, accept = jax.jit(jax.vmap(run_one))(keys_s, rb_s)
     assert samples.shape[:2] == (4, 2)
-    assert np.isfinite(np.asarray(nlls)).all()
+    nlls64 = metropolis.nll_history_to_f64(nlls)
+    assert np.isfinite(nlls64).all()
