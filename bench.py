@@ -161,9 +161,14 @@ def bench_group():
     total = int(counts.sum())
 
     samples = rng.normal(0.5, 0.2, (total, 1)).astype(np.float32)
-    seg = np.repeat(np.arange(nsignals, dtype=np.float32), counts)
-    packed = jnp.asarray(pallas_hist.pack_samples(
-        samples, [0.0], segment_ids=seg))
+    seg = np.repeat(np.arange(nsignals), counts)
+    # Per-segment kernel (one signal per chunk) — the production path
+    # PdfStack takes for multi-signal fits.
+    seg_chunk = pallas_hist.pick_segment_chunk(counts)
+    packed_np, chunk_seg = pallas_hist.pack_samples_per_segment(
+        samples, [0.0], seg, nsignals, chunk=seg_chunk)
+    packed = jnp.asarray(packed_np)
+    mask = np.ones((1, nsignals), np.int32)
     syst = SystematicDesc(SHIFT, obs=0, par_indices=(0,))
 
     def make_reps(nreps):
@@ -171,10 +176,11 @@ def bench_group():
         def f(packed):
             def body(i, acc):
                 theta = jnp.full((1,), 1e-6 * i, jnp.float32)
-                bins = pallas_hist.pallas_histogram(
-                    packed, theta, nfields=1, nobs=1,
+                bins = pallas_hist.pallas_histogram_segmented(
+                    packed, chunk_seg, mask, theta, nfields=1, nobs=1,
                     systematics=((syst, None),), lower=(0.0,),
-                    upper=(1.0,), nbins=(1000,), nsegments=nsignals)
+                    upper=(1.0,), nbins=(1000,), nsegments=nsignals,
+                    chunk=seg_chunk)
                 return acc + bins[0] + bins.sum()
             return jax.lax.fori_loop(0, nreps, body, jnp.float32(0))
         return f
@@ -183,7 +189,7 @@ def bench_group():
     return {"metric": "pdfz_group_samples_per_sec",
             "value": total / per_rep, "unit": "samples/s",
             "detail": f"{nsignals} signals, {total} samples, "
-                      f"{per_rep*1e3:.3f} ms/rebuild"}
+                      f"{per_rep*1e3:.3f} ms/rebuild (per-segment)"}
 
 
 def bench_mcmc():
@@ -255,13 +261,23 @@ def bench_mcmc():
     per_batch = _slope(nll_reps(100), nll_reps(2000), 100, 2000,
                        (lut, norms))
 
-    # Chains/s scaling: vmapped Metropolis ensembles (1 vs 8 chains).
+    # Chains/s scaling: 1 chain via run_segment, 8 chains via the
+    # batched lock-step runner (one fused chains x signals rebuild per
+    # step — the production nchains>1 path).
     def chains_fn(nchains, nsteps):
+        if nchains == 1:
+            def f(p0, nll0, w0, rb, *dd):
+                keys = jax.random.split(jax.random.PRNGKey(3), 1)
+                run = lambda k: metropolis.run_segment(  # noqa: E731
+                    mcmc, p0, nll0, w0, rb, dd, k, nsteps)[1][0]
+                return jax.vmap(run)(keys).sum()
+            return f
+
         def f(p0, nll0, w0, rb, *dd):
             keys = jax.random.split(jax.random.PRNGKey(3), nchains)
-            run = lambda k: metropolis.run_segment(  # noqa: E731
-                mcmc, p0, nll0, w0, rb, dd, k, nsteps)[1][0]
-            return jax.vmap(run)(keys).sum()
+            _, nl, _ = metropolis._run_chains_batched(
+                mcmc, keys, rb, dd, nsteps, 0, False)
+            return nl[0][:, -1].sum()
         return f
 
     chain_rates = {}
@@ -292,7 +308,7 @@ def bench_mcmc():
          "detail": "single chain"},
         {"metric": "chain_steps_per_sec_8chains",
          "value": chain_rates[8], "unit": "chain-steps/s",
-         "detail": "8 vmapped chains, per-chip scaling"},
+         "detail": "8 lock-step chains, one fused batched rebuild/step"},
     ]
 
 

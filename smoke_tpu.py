@@ -1,0 +1,226 @@
+"""On-TPU Pallas correctness smoke test.
+
+tests/test_pallas_hist.py proves kernel == jnp in INTERPRET mode on
+CPU; this script asserts the same equalities on the real TPU, catching
+Mosaic layout/dtype regressions interpret mode cannot see (int8 vs
+bf16 one-hot paths, `>>`/`&` lowerings, SMEM scalar reads, the
+(nsegments, b1, b2) accumulator).  Run alongside bench.py each round:
+
+    python smoke_tpu.py          # prints one PASS/FAIL line per case
+
+Single process only (TPU tunnel); safe to run under `timeout 600`.
+"""
+
+import sys
+
+import numpy as np
+
+CASES = []
+
+
+def case(name):
+    def deco(fn):
+        CASES.append((name, fn))
+        return fn
+    return deco
+
+
+def _jnp_reference(samples, theta, systs, lower, upper, nbins):
+    import jax.numpy as jnp
+
+    from sxmc_tpu.ops import histogram as hist_ops
+    from sxmc_tpu.ops.transforms import apply_systematics
+
+    transformed = apply_systematics(jnp.asarray(samples), theta, systs)
+    ids, valid = hist_ops.compute_bin_ids(
+        transformed[:, :len(nbins)], jnp.asarray(lower),
+        jnp.asarray(upper), nbins)
+    total = hist_ops.total_bins(nbins)
+    return hist_ops.fixed_bincount(ids, valid.astype(jnp.float32), total)
+
+
+@case("1d_bf16_split")
+def smoke_1d():
+    # 1000 bins -> (32, 32) split, bf16 one-hots.
+    import jax.numpy as jnp
+
+    from sxmc_tpu.ops import pallas_hist
+    from sxmc_tpu.ops.transforms import SHIFT, SystematicDesc
+
+    rng = np.random.default_rng(1)
+    samples = rng.normal(0.5, 0.2, (200_000, 1)).astype(np.float32)
+    theta = jnp.asarray([0.013], jnp.float32)
+    syst = SystematicDesc(SHIFT, obs=0, par_indices=(0,))
+    ref = _jnp_reference(samples, theta, (syst,), (0.0,), (1.0,), (1000,))
+    packed = jnp.asarray(pallas_hist.pack_samples(samples, (0.0,)))
+    got = pallas_hist.pallas_histogram(
+        packed, theta, nfields=1, nobs=1, systematics=((syst, None),),
+        lower=(0.0,), upper=(1.0,), nbins=(1000,))
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+@case("2d_hist")
+def smoke_2d():
+    import jax.numpy as jnp
+
+    from sxmc_tpu.ops import pallas_hist
+    from sxmc_tpu.ops.transforms import SCALE, SHIFT, SystematicDesc
+
+    rng = np.random.default_rng(2)
+    n = 100_000
+    samples = np.stack([rng.normal(0.5, 0.2, n), rng.uniform(0, 1, n)],
+                       axis=1).astype(np.float32)
+    theta = jnp.asarray([0.03, -0.05], jnp.float32)
+    systs = (SystematicDesc(SHIFT, obs=0, par_indices=(0,)),
+             SystematicDesc(SCALE, obs=1, par_indices=(1,)))
+    lower, upper, nbins = (0.0, 0.0), (1.0, 1.0), (40, 25)
+    ref = _jnp_reference(samples, theta, systs, lower, upper, nbins)
+    packed = jnp.asarray(pallas_hist.pack_samples(samples, lower))
+    got = pallas_hist.pallas_histogram(
+        packed, theta, nfields=2, nobs=2,
+        systematics=tuple((d, None) for d in systs),
+        lower=lower, upper=upper, nbins=nbins)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+@case("segmented_int8_split_with_masks")
+def smoke_segmented():
+    # 29 segments x 1000 bins -> global split > 160 lanes: int8 path.
+    import jax.numpy as jnp
+
+    from sxmc_tpu.ops import pallas_hist
+    from sxmc_tpu.ops.transforms import SHIFT, SystematicDesc
+
+    rng = np.random.default_rng(3)
+    n, nseg = 300_000, 29
+    samples = rng.normal(0.5, 0.2, (n, 1)).astype(np.float32)
+    seg = np.sort(rng.integers(0, nseg, n)).astype(np.float32)
+    theta = jnp.asarray([0.02], jnp.float32)
+    syst = SystematicDesc(SHIFT, obs=0, par_indices=(0,))
+    sig_mask = tuple(int(s % 3 != 1) for s in range(nseg))
+
+    packed = jnp.asarray(pallas_hist.pack_samples(
+        samples, (0.0,), segment_ids=seg))
+    got = pallas_hist.pallas_histogram(
+        packed, theta, nfields=1, nobs=1,
+        systematics=((syst, sig_mask),), lower=(0.0,), upper=(1.0,),
+        nbins=(1000,), nsegments=nseg)
+    got = np.asarray(got).reshape(nseg, 1000)
+    for s in range(nseg):
+        sel = seg == s
+        active = (syst,) if sig_mask[s] else ()
+        ref = _jnp_reference(samples[sel], theta, active, (0.0,), (1.0,),
+                             (1000,))
+        np.testing.assert_array_equal(np.asarray(ref), got[s])
+
+
+@case("per_segment_kernel")
+def smoke_per_segment():
+    import jax.numpy as jnp
+
+    from sxmc_tpu.ops import pallas_hist
+    from sxmc_tpu.ops.transforms import SHIFT, SystematicDesc
+
+    rng = np.random.default_rng(4)
+    n, nseg = 300_000, 7
+    samples = rng.normal(0.5, 0.2, (n, 1)).astype(np.float32)
+    seg = np.sort(rng.integers(0, nseg, n))
+    theta = jnp.asarray([0.015], jnp.float32)
+    syst = SystematicDesc(SHIFT, obs=0, par_indices=(0,))
+    mask = np.asarray([[int(s % 2 == 0) for s in range(nseg)]], np.int32)
+
+    packed, chunk_seg = pallas_hist.pack_samples_per_segment(
+        samples, (0.0,), seg, nseg, chunk=16384)
+    got = pallas_hist.pallas_histogram_segmented(
+        jnp.asarray(packed), chunk_seg, mask, theta, nfields=1, nobs=1,
+        systematics=((syst, 0),), lower=(0.0,), upper=(1.0,),
+        nbins=(1000,), nsegments=nseg, chunk=16384)
+    got = np.asarray(got).reshape(nseg, 1000)
+    for s in range(nseg):
+        sel = seg == s
+        active = (syst,) if mask[0, s] else ()
+        ref = _jnp_reference(samples[sel], theta, active, (0.0,), (1.0,),
+                             (1000,))
+        np.testing.assert_array_equal(np.asarray(ref), got[s])
+
+
+@case("per_segment_multichain")
+def smoke_per_segment_chains():
+    import jax.numpy as jnp
+
+    from sxmc_tpu.ops import pallas_hist
+    from sxmc_tpu.ops.transforms import SHIFT, SystematicDesc
+
+    rng = np.random.default_rng(5)
+    n, nseg, nch = 100_000, 3, 4
+    samples = rng.normal(0.5, 0.2, (n, 1)).astype(np.float32)
+    seg = np.sort(rng.integers(0, nseg, n))
+    thetas = jnp.asarray(rng.normal(0, 0.02, (nch, 1)), jnp.float32)
+    syst = SystematicDesc(SHIFT, obs=0, par_indices=(0,))
+
+    packed, chunk_seg = pallas_hist.pack_samples_per_segment(
+        samples, (0.0,), seg, nseg, chunk=16384)
+    got = pallas_hist.pallas_histogram_segmented(
+        jnp.asarray(packed), chunk_seg,
+        np.ones((1, nseg), np.int32), thetas, nfields=1, nobs=1,
+        systematics=((syst, None),), lower=(0.0,), upper=(1.0,),
+        nbins=(600,), nsegments=nseg, chunk=16384)
+    got = np.asarray(got).reshape(nch, nseg, 600)
+    for c in range(nch):
+        for s in range(nseg):
+            ref = _jnp_reference(samples[seg == s], thetas[c], (syst,),
+                                 (0.0,), (1.0,), (600,))
+            np.testing.assert_array_equal(np.asarray(ref), got[c, s])
+
+
+@case("eval_lut_sentinels")
+def smoke_eval_lut():
+    import jax.numpy as jnp
+
+    from sxmc_tpu.ops import pallas_hist
+    from sxmc_tpu.pdf.evalhist import eval_from_bins
+
+    rng = np.random.default_rng(6)
+    nseg, nbins = 5, 1000
+    hists = rng.integers(0, 50, (nseg, nbins)).astype(np.float32)
+    norms = hists.sum(axis=1)
+    npts = 3000
+    rb = rng.integers(0, nbins, (nseg, npts)).astype(np.int32)
+    rb[:, 10] = -1   # out-of-domain -> NaN
+    rb[:, 20] = -2   # dataset mismatch -> 0
+    bin_volume = 1.0 / nbins
+
+    rb_packed = jnp.asarray(pallas_hist.pack_read_bins(rb, chunk=1024))
+    got = pallas_hist.pallas_eval_lut(
+        jnp.asarray(hists.reshape(-1)), jnp.asarray(norms), rb_packed,
+        total_nbins=nbins, nsegments=nseg, bin_volume=bin_volume,
+        chunk=1024)[:, :npts]
+    import jax
+
+    ref = jax.vmap(eval_from_bins, in_axes=(0, 0, None, 0))(
+        jnp.asarray(hists), jnp.asarray(norms), bin_volume,
+        jnp.asarray(rb))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=1e-6, equal_nan=True)
+
+
+def main():
+    import jax
+
+    print(f"smoke_tpu: backend={jax.default_backend()} "
+          f"device={jax.devices()[0].device_kind}", file=sys.stderr)
+    failures = 0
+    for name, fn in CASES:
+        try:
+            fn()
+            print(f"PASS {name}")
+        except Exception as e:  # noqa: BLE001 — report and continue
+            failures += 1
+            print(f"FAIL {name}: {type(e).__name__}: {str(e)[:500]}")
+    if failures:
+        sys.exit(1)
+    print(f"smoke_tpu: all {len(CASES)} cases passed")
+
+
+if __name__ == "__main__":
+    main()

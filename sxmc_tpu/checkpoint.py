@@ -127,3 +127,100 @@ def run_checkpointed(
 
     return LikelihoodSpace.from_arrays(
         state["kept"], state["kept_nll"], mcmc.parameter_names)
+
+
+def run_checkpointed_hmc(
+    hmc,
+    data: np.ndarray,
+    nsteps: int,
+    burnin_fraction: float = 0.1,
+    segment_steps: int = 2000,
+    checkpoint_path: str = "hmc.ckpt.npz",
+    seed: int = 0,
+    verbose: bool = False,
+) -> LikelihoodSpace:
+    """HMC with periodic state checkpoints.
+
+    Semantics match HMC.__call__ (sxmc_tpu.mcmc.hmc): a dual-averaging
+    warmup phase followed by sampling at the adapted (step size, mass).
+    Both phases run in explicit-carry segments (hmc.warmup_segment /
+    hmc.main_segment), so preemption loses at most one segment.
+    """
+    from sxmc_tpu.mcmc import hmc as hmc_mod
+
+    hmc.stack.set_data(np.asarray(data, np.float32))
+    rb = hmc.stack._read_bins
+    dd = hmc.stack.device_data
+    warmup = max(int(nsteps * burnin_fraction), 10)
+    keep = max(nsteps - warmup, 1)
+    total = warmup + keep
+    npar = hmc.nparameters
+
+    state = load_chain_state(checkpoint_path)
+    if state is None:
+        q, u, le, leb, hb, t = hmc_mod.initial_warm_carry(
+            hmc, rb, dd, hmc.num_leapfrog, hmc.target_accept)
+        state = {
+            "q": np.asarray(q), "u": np.float32(u),
+            "log_eps": np.float32(le), "log_eps_bar": np.float32(leb),
+            "h_bar": np.float32(hb), "t": np.float32(t),
+            "eps": np.float32(0.0), "inv_mass": np.zeros(npar, np.float32),
+            "key": np.asarray(jax.random.PRNGKey(seed)),
+            "step": np.int64(0),
+            "warm_qs": np.zeros((0, npar), np.float32),
+            "kept": np.zeros((0, npar), np.float32),
+            "kept_nll": np.zeros((0,), np.float32),
+        }
+    total_done = int(state["step"])
+
+    while total_done < total:
+        in_warm = total_done < warmup
+        bound = warmup if in_warm else total
+        n = min(segment_steps, bound - total_done)
+
+        key = jnp.asarray(state["key"], jnp.uint32)
+        key, seg_key = jax.random.split(key)
+        if in_warm:
+            carry = (jnp.asarray(state["q"]), jnp.asarray(state["u"]),
+                     jnp.asarray(state["log_eps"]),
+                     jnp.asarray(state["log_eps_bar"]),
+                     jnp.asarray(state["h_bar"]), jnp.asarray(state["t"]))
+            carry, warm_qs = hmc_mod.warmup_segment(
+                hmc, carry, rb, dd, seg_key, n, hmc.num_leapfrog,
+                hmc.target_accept)
+            q, u, le, leb, hb, t = carry
+            state.update({
+                "q": np.asarray(q), "u": np.float32(u),
+                "log_eps": np.float32(le), "log_eps_bar": np.float32(leb),
+                "h_bar": np.float32(hb), "t": np.float32(t),
+                "warm_qs": np.concatenate(
+                    [state["warm_qs"], np.asarray(warm_qs)]),
+            })
+            if total_done + n == warmup:
+                state["eps"] = np.float32(np.exp(state["log_eps_bar"]))
+                state["inv_mass"] = np.asarray(hmc_mod.mass_from_warmup(
+                    hmc, jnp.asarray(state["warm_qs"])))
+        else:
+            (q, u), (samples, nlls, _) = hmc_mod.main_segment(
+                hmc, jnp.asarray(state["q"]), jnp.asarray(state["u"]),
+                jnp.asarray(state["eps"]),
+                jnp.asarray(state["inv_mass"]), rb, dd, seg_key, n,
+                hmc.num_leapfrog)
+            state.update({
+                "q": np.asarray(q), "u": np.float32(u),
+                "kept": np.concatenate(
+                    [state["kept"], np.asarray(samples)]),
+                "kept_nll": np.concatenate(
+                    [state["kept_nll"], np.asarray(nlls)]),
+            })
+
+        total_done += n
+        state.update({"key": np.asarray(key), "step": np.int64(total_done)})
+        save_chain_state(checkpoint_path, state)
+        if verbose:
+            phase = "warmup" if in_warm else "sample"
+            print(f"checkpoint(hmc): {phase} {total_done}/{total} "
+                  f"-> {checkpoint_path}")
+
+    return LikelihoodSpace.from_arrays(
+        state["kept"], state["kept_nll"], hmc.parameter_names)

@@ -31,6 +31,13 @@ def main(argv=None) -> int:
     parser.add_argument("--sharded", action="store_true",
                         help="run all fake experiments as one vmapped "
                              "batch sharded over the device mesh")
+    parser.add_argument("--coordinator", default=None,
+                        help="multi-host: coordinator address "
+                             "(host:port) for jax.distributed")
+    parser.add_argument("--num-processes", type=int, default=0,
+                        help="multi-host: total process count")
+    parser.add_argument("--process-id", type=int, default=0,
+                        help="multi-host: this process's id")
     parser.add_argument("--sampler",
                         choices=["metropolis", "hmc", "nuts", "stretch",
                                  "mle"],
@@ -44,6 +51,12 @@ def main(argv=None) -> int:
                              "fit.signal_name: q0 discovery significance "
                              "and a toy-MC CLs upper limit (NTOYS toys "
                              "per grid point, default 200)")
+    parser.add_argument("--checkpoint-steps", type=int, default=0,
+                        metavar="N",
+                        help="run Metropolis chains in N-step segments "
+                             "with the full chain state checkpointed "
+                             "after each; a killed fit resumes "
+                             "mid-chain with --resume")
     parser.add_argument("--hypotest-band", action="store_true",
                         help="with --hypotest, also compute the median "
                              "and +-1 sigma expected CLs limits (the "
@@ -54,6 +67,39 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if args.num_processes > 1:
+        # Multi-host ensemble: experiments fan out over processes (the
+        # DCN axis); every process computes the same gathered limits,
+        # process 0 writes the outputs.
+        import os
+
+        import jax
+
+        from sxmc_tpu.fitconfig import FitConfig
+        from sxmc_tpu.parallel import mesh as mesh_lib
+        from sxmc_tpu.parallel.multihost import run_multihost_ensemble
+        from sxmc_tpu.utils import median
+
+        mesh_lib.initialize_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id)
+        fc = FitConfig.from_json_file(args.config,
+                                      data_root=args.data_root)
+        lspaces, limits = run_multihost_ensemble(fc)
+        if jax.process_index() == 0:
+            os.makedirs(args.output_path, exist_ok=True)
+            for i, ls in enumerate(lspaces):
+                if ls is not None:
+                    ls.save(os.path.join(
+                        args.output_path,
+                        f"{fc.output_prefix}_{i}.{fc.output_format}"))
+            print("sxmc_tpu: Upper limits:",
+                  ", ".join(f"{x:g}" for x in limits))
+            print(f"sxmc_tpu: Median upper limit: "
+                  f"{median(list(limits))}")
+        return 0
 
     if args.sharded:
         import os
@@ -82,7 +128,8 @@ def main(argv=None) -> int:
         main_fit(args.config, args.output_path, resume=args.resume,
                  data_root=args.data_root, sampler=args.sampler,
                  hypotest_toys=args.hypotest,
-                 hypotest_band=args.hypotest_band)
+                 hypotest_band=args.hypotest_band,
+                 checkpoint_steps=args.checkpoint_steps)
     return 0
 
 

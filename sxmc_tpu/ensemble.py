@@ -33,6 +33,7 @@ def run_ensemble(
     sampler: str = "metropolis",
     hypotest_toys: int = 0,
     hypotest_band: bool = False,
+    checkpoint_steps: int = 0,
 ) -> List[float]:
     """Run the full ensemble; returns the per-experiment upper limits.
 
@@ -42,8 +43,23 @@ def run_ensemble(
     ``signal_name`` for every experiment — machinery the reference
     lacks entirely (its nearest analog is the median-limit loop,
     sxmc.cpp:110-127).
+
+    ``checkpoint_steps > 0`` runs each Metropolis chain in segments of
+    that many steps with the full chain state persisted after each —
+    a killed fit resumes mid-chain (sxmc_tpu.checkpoint; the reference
+    can only resume whole experiments, sxmc.cpp:84-94).
+
+    Structured JSONL metrics (step timing, acceptance, ESS, best fit)
+    go to ``<output_path>/<prefix>_metrics.jsonl`` — the analog of the
+    reference's per-batch acceptance prints (mcmc.cpp:356-358).
     """
+    from sxmc_tpu.observability import MetricsLogger, Stopwatch
+
     os.makedirs(output_path, exist_ok=True)
+    metrics = MetricsLogger(os.path.join(
+        output_path, f"{fc.output_prefix}_metrics.jsonl"))
+    metrics.log("ensemble_start", nexperiments=fc.nexperiments,
+                nsteps=fc.nsteps, sampler=sampler, nchains=fc.nchains)
 
     def log(msg):
         if verbose:
@@ -156,12 +172,43 @@ def run_ensemble(
                     limits.append(limit)
                 continue
 
-            ls = mcmc(samples_data, fc.nsteps, fc.burnin_fraction,
-                      debug_mode=fc.debug_mode, key=exp_key,
-                      nchains=fc.nchains)
+            sw = Stopwatch()
+            if checkpoint_steps > 0 and sampler in ("metropolis", "hmc"):
+                from sxmc_tpu import checkpoint as ckpt_mod
+
+                ckpt = os.path.join(
+                    output_path, f"{fc.output_prefix}_chain_{i}.ckpt.npz")
+                if sampler == "hmc":
+                    ls = ckpt_mod.run_checkpointed_hmc(
+                        mcmc, samples_data, fc.nsteps,
+                        fc.burnin_fraction,
+                        segment_steps=checkpoint_steps,
+                        checkpoint_path=ckpt, seed=fc.seed + i,
+                        verbose=verbose)
+                else:
+                    ls = ckpt_mod.run_checkpointed(
+                        mcmc, samples_data, fc.nsteps,
+                        fc.burnin_fraction,
+                        segment_steps=checkpoint_steps,
+                        checkpoint_path=ckpt, debug_mode=fc.debug_mode,
+                        seed=fc.seed + i, verbose=verbose)
+                if os.path.exists(ckpt):
+                    os.remove(ckpt)  # completed; resume file not needed
+            else:
+                ls = mcmc(samples_data, fc.nsteps, fc.burnin_fraction,
+                          debug_mode=fc.debug_mode, key=exp_key,
+                          nchains=fc.nchains)
+            elapsed = sw.real_time()
             ls.cl = fc.confidence
             ls.error_type = fc.error_type
             ls.save(lspace_file)
+            metrics.log(
+                "experiment_fit", experiment=i, sampler=sampler,
+                nsteps=fc.nsteps, nchains=fc.nchains,
+                wall_seconds=elapsed,
+                steps_per_sec=fc.nsteps * max(fc.nchains, 1) / max(
+                    elapsed, 1e-9),
+                accept_rate=getattr(mcmc, "last_accept_rate", None))
 
         log(ls.print_best_fit())
         log(ls.print_correlations())
@@ -174,6 +221,12 @@ def run_ensemble(
         log("-- Diagnostics --")
         for pname, d in diag.items():
             log(f" {pname}: ESS={d['ess']:.0f} R-hat={d['rhat']:.3f}")
+        metrics.log(
+            "experiment_result", experiment=i, nll_min=ls.nll_min,
+            best_fit={n: iv.point_estimate
+                      for n, iv in ls.get_best_fit().items()},
+            ess={n: d["ess"] for n, d in diag.items()},
+            rhat={n: d["rhat"] for n, d in diag.items()})
 
         if fc.plots and samples_data is not None:
             try:
@@ -196,7 +249,12 @@ def run_ensemble(
             log(f"ensemble: lower = {bfi.lower}, upper = {bfi.upper}, "
                 f"coverage = {bfi.coverage}")
             limits.append(bfi.upper)
+            metrics.log("experiment_limit", experiment=i,
+                        signal=fc.signal_name, upper=bfi.upper,
+                        lower=bfi.lower, one_sided=bool(bfi.one_sided))
 
+    metrics.log("ensemble_done", nlimits=len(limits),
+                median_limit=float(median(limits)) if limits else -1.0)
     return limits
 
 
@@ -309,7 +367,8 @@ def main_fit(config_file: str, output_path: str, resume: bool = False,
              data_root: Optional[str] = None,
              sampler: str = "metropolis",
              hypotest_toys: int = 0,
-             hypotest_band: bool = False) -> List[float]:
+             hypotest_band: bool = False,
+             checkpoint_steps: int = 0) -> List[float]:
     """Full driver (reference: sxmc.cpp:181-229)."""
     print("sxmc_tpu: Loading configuration...")
     print(f"sxmc_tpu: Configuration: {config_file}")
@@ -319,7 +378,8 @@ def main_fit(config_file: str, output_path: str, resume: bool = False,
     print("sxmc_tpu: Running ensemble...")
     limits = run_ensemble(fc, output_path, resume=resume,
                           sampler=sampler, hypotest_toys=hypotest_toys,
-                          hypotest_band=hypotest_band)
+                          hypotest_band=hypotest_band,
+                          checkpoint_steps=checkpoint_steps)
 
     if limits:
         print("sxmc_tpu: Upper limits:", ", ".join(f"{x:g}" for x in limits))

@@ -23,6 +23,7 @@ Design notes:
 from __future__ import annotations
 
 import functools
+import types
 from typing import Optional
 
 import jax
@@ -87,9 +88,11 @@ def _run_hmc_chains(hmc: HMC, chain_keys, read_bins, device_data,
         chain_keys, read_bins, device_data)
 
 
-def _run_hmc_single(hmc: HMC, key, read_bins, device_data, *,
-                    warmup: int, keep: int,
-                    num_leapfrog: int, target_accept: float):
+def _make_hmc_fns(hmc: HMC, read_bins, device_data, num_leapfrog: int,
+                  target_accept: float):
+    """Shared machinery: (potential, hmc_step, warm_body, q0,
+    inv_mass0, to_constrained, jacobian) — used by the fused
+    single-chain runner and the checkpointable segment entry points."""
     nsources = hmc.nsources
     st = hmc.static
     stack = hmc.stack
@@ -119,11 +122,12 @@ def _run_hmc_single(hmc: HMC, key, read_bins, device_data, *,
     def to_constrained(q):
         return jnp.where(is_rate, jnp.exp(q), q)
 
-    def potential(q):
-        params = to_constrained(q)
+    def jacobian(q):
         # Flat prior in r-space => subtract sum(log r) Jacobian.
-        jac = jnp.sum(jnp.where(is_rate & free, q, 0.0))
-        return params_nll(params) - jac
+        return jnp.sum(jnp.where(is_rate & free, q, 0.0))
+
+    def potential(q):
+        return params_nll(to_constrained(q)) - jacobian(q)
 
     grad_U = jax.grad(potential)
 
@@ -169,9 +173,8 @@ def _run_hmc_single(hmc: HMC, key, read_bins, device_data, *,
         U_q = jnp.where(take, U_new, U_q)
         return q, U_q, accept_prob, take
 
-    # ---- warmup with dual averaging (target_accept) ----
+    # ---- warmup body with dual averaging (target_accept) ----
     mu = jnp.log(10.0 * 0.1)
-    eps0 = jnp.float32(0.1)
 
     def warm_body(carry, step_key):
         q, U_q, log_eps, log_eps_bar, h_bar, t = carry
@@ -191,11 +194,38 @@ def _run_hmc_single(hmc: HMC, key, read_bins, device_data, *,
         log_eps_bar = pow_t * log_eps + (1.0 - pow_t) * log_eps_bar
         return (q, U_q, log_eps, log_eps_bar, h_bar, t), (q, a_prob)
 
-    U0 = potential(q0)
+    def main_body(eps, inv_mass):
+        def body(carry, step_key):
+            q, U_q = carry
+            q, U_q, a_prob, take = hmc_step(q, U_q, eps, inv_mass,
+                                            step_key)
+            params = to_constrained(q)
+            # Recover the NLL from U without re-evaluating the PDFs:
+            # U = nll - sum(log r) over free rates.
+            return ((q, U_q),
+                    (params, U_q + jacobian(q),
+                     take.astype(jnp.float32)))
+        return body
+
+    return types.SimpleNamespace(
+        potential=potential, hmc_step=hmc_step, warm_body=warm_body,
+        main_body=main_body, q0=q0, inv_mass0=inv_mass0, free=free,
+        to_constrained=to_constrained, jacobian=jacobian)
+
+
+def _run_hmc_single(hmc: HMC, key, read_bins, device_data, *,
+                    warmup: int, keep: int,
+                    num_leapfrog: int, target_accept: float):
+    fns = _make_hmc_fns(hmc, read_bins, device_data, num_leapfrog,
+                        target_accept)
+    eps0 = jnp.float32(0.1)
+
+    U0 = fns.potential(fns.q0)
     k_warm, k_main = jax.random.split(key)
     warm_keys = jax.random.split(k_warm, warmup)
     carry, (warm_qs, warm_accepts) = jax.lax.scan(
-        warm_body, (q0, U0, jnp.log(eps0), jnp.log(eps0), 0.0, 0.0),
+        fns.warm_body,
+        (fns.q0, U0, jnp.log(eps0), jnp.log(eps0), 0.0, 0.0),
         warm_keys)
     q, U_q, _, log_eps_bar, _, _ = carry
     eps = jnp.exp(log_eps_bar)
@@ -203,19 +233,61 @@ def _run_hmc_single(hmc: HMC, key, read_bins, device_data, *,
     # Diagonal mass from warmup variance (second half).
     half = warm_qs[warmup // 2:]
     var = jnp.var(half, axis=0)
-    inv_mass = jnp.where(free, jnp.maximum(var, 1e-8), 0.0)
+    inv_mass = jnp.where(fns.free, jnp.maximum(var, 1e-8), 0.0)
 
     # ---- sampling ----
-    def main_body(carry, step_key):
-        q, U_q = carry
-        q, U_q, a_prob, take = hmc_step(q, U_q, eps, inv_mass, step_key)
-        params = to_constrained(q)
-        # Recover the NLL from U without re-evaluating the PDFs:
-        # U = nll - sum(log r) over free rates.
-        jac = jnp.sum(jnp.where(is_rate & free, q, 0.0))
-        return (q, U_q), (params, U_q + jac, take.astype(jnp.float32))
-
     main_keys = jax.random.split(k_main, keep)
     _, (samples, nlls, accepts) = jax.lax.scan(
-        main_body, (q, U_q), main_keys)
+        fns.main_body(eps, inv_mass), (q, U_q), main_keys)
     return samples, nlls, accepts.mean()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hmc", "nsteps", "num_leapfrog", "target_accept"))
+def warmup_segment(hmc: HMC, carry, read_bins, device_data, key,
+                   nsteps: int, num_leapfrog: int,
+                   target_accept: float):
+    """One checkpointable slice of HMC warmup.
+
+    ``carry`` is the explicit dual-averaging state
+    (q, U, log_eps, log_eps_bar, h_bar, t); returns (carry, warm_qs)
+    so a killed warmup resumes exactly (sxmc_tpu.checkpoint).
+    """
+    fns = _make_hmc_fns(hmc, read_bins, device_data, num_leapfrog,
+                        target_accept)
+    keys = jax.random.split(key, nsteps)
+    carry, (warm_qs, _) = jax.lax.scan(fns.warm_body, carry, keys)
+    return carry, warm_qs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hmc", "nsteps", "num_leapfrog"))
+def main_segment(hmc: HMC, q, U_q, eps, inv_mass, read_bins,
+                 device_data, key, nsteps: int, num_leapfrog: int):
+    """One checkpointable slice of HMC sampling; returns
+    ((q, U), (samples, nlls, accept_mean))."""
+    fns = _make_hmc_fns(hmc, read_bins, device_data, num_leapfrog, 0.8)
+    keys = jax.random.split(key, nsteps)
+    (q, U_q), (samples, nlls, accepts) = jax.lax.scan(
+        fns.main_body(eps, inv_mass), (q, U_q), keys)
+    return (q, U_q), (samples, nlls, accepts.mean())
+
+
+def initial_warm_carry(hmc: HMC, read_bins, device_data,
+                       num_leapfrog: int, target_accept: float):
+    """Fresh dual-averaging warmup carry for segment-mode HMC."""
+    fns = _make_hmc_fns(hmc, read_bins, device_data, num_leapfrog,
+                        target_accept)
+    eps0 = jnp.float32(0.1)
+    U0 = fns.potential(fns.q0)
+    return (fns.q0, U0, jnp.log(eps0), jnp.log(eps0), jnp.float32(0.0),
+            jnp.float32(0.0))
+
+
+def mass_from_warmup(hmc: HMC, warm_qs):
+    """Diagonal inverse mass from warmup samples (second half)."""
+    free = ~jnp.asarray(hmc.parameter_fixed)
+    half = warm_qs[warm_qs.shape[0] // 2:]
+    var = jnp.var(half, axis=0)
+    return jnp.where(free, jnp.maximum(var, 1e-8), 0.0)

@@ -454,6 +454,18 @@ def pallas_histogram_segmented(
     return flat.reshape(nsegments * total)
 
 
+def pick_segment_chunk(counts) -> int:
+    """Chunk size for the per-segment kernel: as large as possible for
+    DMA/VPU efficiency while keeping per-segment padding waste small
+    (each segment pads up to a chunk multiple, ~chunk/2 average)."""
+    counts = np.asarray(counts)
+    avg = max(float(counts.mean()) if counts.size else 0.0, 1.0)
+    chunk = 8192
+    while chunk < 65536 and chunk * 4 <= avg:
+        chunk *= 2
+    return chunk
+
+
 def pack_samples_per_segment(
     samples: np.ndarray,
     lower: Sequence[float],

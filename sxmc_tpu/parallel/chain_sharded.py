@@ -126,6 +126,9 @@ def run_sharded_chain(
         lut0 = jnp.nan_to_num(lut, nan=0.0)
         s = jnp.einsum("j,ji->i", w, lut0,
                        preferred_element_type=jnp.float32)
+        # Same dot->log->reduce fusion fence as ops.nll.nll_pair (the
+        # fused form SIGABRTs the XLA:TPU backend).
+        s = jax.lax.optimization_barrier(s)
         logs = jnp.where(s > 0, jnp.log(jnp.where(s > 0, s, 1.0)), 0.0)
         l_hi, l_lo = df_sum(logs)
         ev_hi = jax.lax.psum(l_hi, "event")

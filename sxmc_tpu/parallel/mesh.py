@@ -64,9 +64,61 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def initialize_distributed(**kwargs) -> None:
-    """Multi-host bring-up (jax.distributed); no-op if single process."""
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    **kwargs,
+) -> bool:
+    """Bring up the multi-host runtime (jax.distributed).
+
+    The reference has no distributed story at all (SURVEY.md section
+    2.2); here the ensemble axis fans out across processes (the DCN
+    analog).  Explicit coordinator/process arguments support manual
+    bring-up (and the multi-process CPU test); with no arguments,
+    cluster auto-detection is attempted and single-process is the
+    silent fallback.
+
+    Returns:
+        True if a multi-process runtime is active after the call.
+    """
     try:
-        jax.distributed.initialize(**kwargs)
+        if coordinator_address is not None:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id,
+                **kwargs)
+        else:
+            jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError):
-        pass  # already initialized or single-process
+        pass  # already initialized or nothing to detect
+    return jax.process_count() > 1
+
+
+def process_local_experiments(nexperiments: int,
+                              process_index: Optional[int] = None,
+                              process_count: Optional[int] = None):
+    """Global experiment indices owned by this process.
+
+    Contiguous blocks, remainder spread over the first processes.  Fake
+    datasets are keyed by the GLOBAL index (fold_in), so the ensemble's
+    results are bit-identical for any process count.
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    base, extra = divmod(nexperiments, pc)
+    start = pi * base + min(pi, extra)
+    stop = start + base + (1 if pi < extra else 0)
+    return list(range(start, stop))
+
+
+def local_mesh(nchains: int = 1) -> Mesh:
+    """{exp x chain} mesh over THIS process's devices (the ICI slice
+    under one host of the global {exp(DCN) x chain} layout)."""
+    devices = jax.local_devices()
+    nd = len(devices)
+    chain = min(max(nchains, 1), nd)
+    while nd % chain != 0:
+        chain -= 1
+    dev = np.asarray(devices).reshape(nd // chain, chain)
+    return Mesh(dev, axis_names=("exp", "chain"))

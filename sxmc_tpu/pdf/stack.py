@@ -148,7 +148,8 @@ class PdfStack:
             self._per_segment = (self.nsignals > 1 and
                                  acc_bytes <= (4 << 20))
             if self._per_segment:
-                self._seg_chunk = 16384
+                self._seg_chunk = pallas_hist.pick_segment_chunk(
+                    np.bincount(seg, minlength=self.nsignals))
                 packed, chunk_seg = pallas_hist.pack_samples_per_segment(
                     np.concatenate(sample_arrays, axis=0), lower, seg,
                     self.nsignals, chunk=self._seg_chunk)

@@ -94,6 +94,38 @@ class TestCheckpoint:
         s1 = ls1.column("sig").std()
         assert abs(m1 - m2) < 5 * s1
 
+    def test_hmc_resume_reproduces_uninterrupted_run(self, tmp_path):
+        from sxmc_tpu.mcmc.hmc import HMC
+
+        obs, systs, sources, signals = make_fixture()
+        data = make_fake_dataset(jax.random.PRNGKey(4), signals, systs,
+                                 [obs], poisson=False)
+        hmc = HMC(sources, signals, systs, [obs], num_leapfrog=4)
+
+        p1 = str(tmp_path / "h1.npz")
+        ls1 = checkpoint.run_checkpointed_hmc(
+            hmc, data, nsteps=400, burnin_fraction=0.25,
+            segment_steps=10000, checkpoint_path=p1, seed=3)
+
+        # Interrupted: stop mid-sampling (same warmup=100 boundary),
+        # then resume to the full length on the same checkpoint.
+        p2 = str(tmp_path / "h2.npz")
+        checkpoint.run_checkpointed_hmc(
+            hmc, data, nsteps=160, burnin_fraction=0.625,
+            segment_steps=40, checkpoint_path=p2, seed=3)
+        st = checkpoint.load_chain_state(p2)
+        assert int(st["step"]) == 160
+        assert float(st["eps"]) > 0  # warmup finished, step size set
+        ls2 = checkpoint.run_checkpointed_hmc(
+            hmc, data, nsteps=400, burnin_fraction=0.25,
+            segment_steps=40, checkpoint_path=p2, seed=3)
+        assert ls2.samples.shape[0] == 300
+        m1 = ls1.column("sig").mean()
+        m2 = ls2.column("sig").mean()
+        s1 = max(ls1.column("sig").std(), 1e-3)
+        assert abs(m1 - m2) < 6 * s1
+        assert np.isfinite(ls2.nll_values).all()
+
     def test_state_roundtrip(self, tmp_path):
         p = str(tmp_path / "s.npz")
         state = {"params": np.arange(3, dtype=np.float32),
