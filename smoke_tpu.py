@@ -173,6 +173,39 @@ def smoke_per_segment_chains():
             np.testing.assert_array_equal(np.asarray(ref), got[c, s])
 
 
+@case("weighted_hist")
+def smoke_weighted():
+    import jax.numpy as jnp
+
+    from sxmc_tpu.ops import histogram as hist_ops
+    from sxmc_tpu.ops import pallas_hist
+    from sxmc_tpu.ops.transforms import SHIFT, SystematicDesc
+
+    rng = np.random.default_rng(7)
+    n = 200_000
+    samples = rng.normal(0.5, 0.2, (n, 1)).astype(np.float32)
+    weights = rng.uniform(0.1, 3.0, n).astype(np.float32)
+    theta = jnp.asarray([0.011], jnp.float32)
+    syst = SystematicDesc(SHIFT, obs=0, par_indices=(0,))
+
+    from sxmc_tpu.ops.transforms import apply_systematics
+
+    transformed = apply_systematics(jnp.asarray(samples), theta, (syst,))
+    ids, valid = hist_ops.compute_bin_ids(
+        transformed[:, :1], jnp.asarray((0.0,)), jnp.asarray((1.0,)),
+        (1000,))
+    ref = hist_ops.fixed_bincount(
+        ids, valid.astype(jnp.float32) * jnp.asarray(weights), 1000)
+
+    packed = jnp.asarray(pallas_hist.pack_samples(
+        samples, (0.0,), weights=weights))
+    got = pallas_hist.pallas_histogram(
+        packed, theta, nfields=1, nobs=1, systematics=((syst, None),),
+        lower=(0.0,), upper=(1.0,), nbins=(1000,), has_weights=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=1e-5)
+
+
 @case("eval_lut_sentinels")
 def smoke_eval_lut():
     import jax.numpy as jnp

@@ -26,8 +26,9 @@ Key design points:
     segment offset for batched multi-PDF builds are folded into the same
     pass.
 
-The kernel handles the unweighted case (integer counts).  Weighted
-histograms take the jnp path in sxmc_tpu.ops.histogram.
+Weighted histograms stay on this path too: the per-sample weight rides
+as one extra packed row and multiplies into the hi one-hot (f32
+one-hots + f32 accumulate, exact for weights).
 """
 
 from __future__ import annotations
@@ -103,7 +104,7 @@ def _balanced_split(all_bins: int):
 
 def _make_kernel(nfields, nobs, systematics, lower, upper, nbins,
                  total_nbins, b1, b2, b2_shift, chunk, has_segments,
-                 nsegments):
+                 nsegments, has_weights=False):
     strides = hist_ops.bin_strides(nbins)
     scales = tuple(nbins[i] / (upper[i] - lower[i]) for i in range(nobs))
     g = chunk // LANES
@@ -113,13 +114,17 @@ def _make_kernel(nfields, nobs, systematics, lower, upper, nbins,
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        # (nfields[+1], G, 128) field blocks; full-sublane math.
+        # (nfields[+1][+1], G, 128) field blocks; full-sublane math.
         cols = [samples_ref[f] for f in range(nfields)]
 
         if has_segments:
             seg = samples_ref[nfields].astype(jnp.int32)
         else:
             seg = None
+        if has_weights:
+            wrow = samples_ref[nfields + (1 if has_segments else 0)]
+        else:
+            wrow = None
 
         systs = []
         for desc, sig_mask in systematics:
@@ -164,7 +169,17 @@ def _make_kernel(nfields, nobs, systematics, lower, upper, nbins,
         hi_iota = jax.lax.broadcasted_iota(jnp.int32, (b1, chunk), 0)
         # One-hot dtype (both exact for 0/1 counts): bf16 measures
         # faster for narrow splits, int8 (half the VMEM) for wide ones.
-        if b1 + b2 <= 160:
+        # Weighted builds carry the per-sample weight in the hi one-hot
+        # (f32 so weights keep full precision; f32 accumulate).
+        if has_weights:
+            onehot_lo = (lo == lo_iota).astype(jnp.float32)
+            onehot_hi = ((hi == hi_iota) & valid_row).astype(
+                jnp.float32) * wrow.reshape(1, chunk)
+            part = jax.lax.dot_general(
+                onehot_hi, onehot_lo, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_ref[:] += part
+        elif b1 + b2 <= 160:
             onehot_lo = (lo == lo_iota).astype(jnp.bfloat16)
             onehot_hi = ((hi == hi_iota) & valid_row).astype(jnp.bfloat16)
             part = jax.lax.dot_general(
@@ -185,7 +200,8 @@ def _make_kernel(nfields, nobs, systematics, lower, upper, nbins,
 @functools.partial(
     jax.jit,
     static_argnames=("nfields", "nobs", "systematics", "lower", "upper",
-                     "nbins", "nsegments", "chunk", "interpret"))
+                     "nbins", "nsegments", "chunk", "has_weights",
+                     "interpret"))
 def pallas_histogram(
     samples_t3: jnp.ndarray,
     theta: jnp.ndarray,
@@ -198,6 +214,7 @@ def pallas_histogram(
     nbins: Tuple[int, ...],
     nsegments: int = 1,
     chunk: Optional[int] = None,
+    has_weights: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Run the fused histogram kernel.
@@ -219,7 +236,7 @@ def pallas_histogram(
     nrows, npad_g, lanes = samples_t3.shape
     assert lanes == LANES
     npad = npad_g * LANES
-    has_segments = nrows == nfields + 1
+    has_segments = (nrows - nfields - int(has_weights)) == 1
 
     total = hist_ops.total_bins(nbins)
     all_bins = nsegments * total
@@ -234,7 +251,7 @@ def pallas_histogram(
     kernel = _make_kernel(
         nfields, nobs, tuple(systematics), tuple(lower), tuple(upper),
         tuple(nbins), total, b1, b2, b2_shift, chunk, has_segments,
-        nsegments)
+        nsegments, has_weights)
 
     theta_pad = jnp.zeros((1, max(theta.shape[0], 1)), jnp.float32)
     theta_pad = theta_pad.at[0, :theta.shape[0]].set(theta)
@@ -251,7 +268,8 @@ def pallas_histogram(
         ],
         out_specs=pl.BlockSpec((b1, b2), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b1, b2), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(
+            (b1, b2), jnp.float32 if has_weights else jnp.int32),
         interpret=interpret,
     )(theta_pad, samples_t3)
 
@@ -273,7 +291,7 @@ def pallas_histogram(
 
 def _make_per_segment_kernel(nfields, nobs, systematics, lower, upper,
                              nbins, b1, b2, b2_shift, chunk, nsegments,
-                             nchains):
+                             nchains, has_weights=False):
     strides = hist_ops.bin_strides(nbins)
     scales = tuple(nbins[i] / (upper[i] - lower[i]) for i in range(nobs))
     g = chunk // LANES
@@ -288,6 +306,10 @@ def _make_per_segment_kernel(nfields, nobs, systematics, lower, upper,
         sid = seg_map_ref[0, pl.program_id(0)]
 
         raw_cols = [samples_ref[f] for f in range(nfields)]
+        if has_weights:
+            wrow = samples_ref[nfields].reshape(1, chunk)
+        else:
+            wrow = None
 
         # Per-chunk systematic activity: a scalar load from the SMEM
         # mask matrix replaces the per-sample segment-compare masks of
@@ -347,8 +369,16 @@ def _make_per_segment_kernel(nfields, nobs, systematics, lower, upper,
             hi = pos >> b2_shift
             lo_iota = jax.lax.broadcasted_iota(jnp.int32, (b2, chunk), 0)
             hi_iota = jax.lax.broadcasted_iota(jnp.int32, (b1, chunk), 0)
-            onehot_lo = (lo == lo_iota).astype(jnp.bfloat16)
-            onehot_hi = ((hi == hi_iota) & valid_row).astype(jnp.bfloat16)
+            if has_weights:
+                # f32 one-hots so the per-sample weight keeps full
+                # precision through the MXU accumulate.
+                onehot_lo = (lo == lo_iota).astype(jnp.float32)
+                onehot_hi = ((hi == hi_iota) & valid_row).astype(
+                    jnp.float32) * wrow
+            else:
+                onehot_lo = (lo == lo_iota).astype(jnp.bfloat16)
+                onehot_hi = ((hi == hi_iota) & valid_row).astype(
+                    jnp.bfloat16)
             part = jax.lax.dot_general(
                 onehot_hi, onehot_lo, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -402,7 +432,8 @@ def pallas_histogram_segmented(
         ``(nchains, nsegments * total_nbins)`` when theta is 2-D.
     """
     nrows, npad_g, lanes = samples_t3.shape
-    assert lanes == LANES and nrows == nfields
+    assert lanes == LANES and nrows in (nfields, nfields + 1)
+    has_weights = nrows == nfields + 1
     npad = npad_g * LANES
     assert npad % chunk == 0
     g = chunk // LANES
@@ -420,7 +451,8 @@ def pallas_histogram_segmented(
 
     kernel = _make_per_segment_kernel(
         nfields, nobs, tuple(systematics), tuple(lower), tuple(upper),
-        tuple(nbins), b1, b2, b2_shift, chunk, nsegments, nchains)
+        tuple(nbins), b1, b2, b2_shift, chunk, nsegments, nchains,
+        has_weights)
 
     out_shape = ((nchains, nsegments, b1, b2) if batched
                  else (nsegments, b1, b2))
@@ -437,7 +469,7 @@ def pallas_histogram_segmented(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((nmask, nsegments), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((nfields, g, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((nrows, g, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -472,15 +504,17 @@ def pack_samples_per_segment(
     segment_ids: np.ndarray,
     nsegments: int,
     chunk: int = 16384,
+    weights: Optional[np.ndarray] = None,
 ):
     """Host-side packing for the per-segment kernel.
 
     Sorts rows by segment (stable; PdfStack input is already sorted)
     and pads every segment up to a multiple of ``chunk`` with
     out-of-domain rows, so each kernel chunk holds exactly one segment.
+    ``weights`` (optional) ride as one extra row (pad weight 0).
 
     Returns:
-        (packed, chunk_seg): ``(nfields, npad/128, 128)`` f32 and
+        (packed, chunk_seg): ``(nfields[+1], npad/128, 128)`` f32 and
         ``(1, nchunks)`` int32 segment-of-chunk map.
     """
     samples = np.asarray(samples, np.float32)
@@ -490,22 +524,29 @@ def pack_samples_per_segment(
     if not np.array_equal(order, np.arange(n)):
         samples = samples[order]
         segment_ids = segment_ids[order]
+        if weights is not None:
+            weights = np.asarray(weights, np.float32)[order]
 
     counts = np.bincount(segment_ids, minlength=nsegments)
     padded_counts = np.maximum(-(-counts // chunk) * chunk, chunk)
     npad = int(padded_counts.sum())
 
-    out = np.full((nfields, npad), np.float32(lower[0] - 1e9), np.float32)
+    nrows = nfields + (1 if weights is not None else 0)
+    out = np.full((nrows, npad), np.float32(lower[0] - 1e9), np.float32)
+    if weights is not None:
+        out[nfields] = 0.0
     chunk_seg = np.empty(npad // chunk, np.int32)
     dst = 0
     src = 0
     for s in range(nsegments):
         c = int(counts[s])
-        out[:, dst:dst + c] = samples[src:src + c].T
+        out[:nfields, dst:dst + c] = samples[src:src + c].T
+        if weights is not None:
+            out[nfields, dst:dst + c] = weights[src:src + c]
         chunk_seg[dst // chunk:(dst + padded_counts[s]) // chunk] = s
         dst += int(padded_counts[s])
         src += c
-    return (out.reshape(nfields, npad // LANES, LANES),
+    return (out.reshape(nrows, npad // LANES, LANES),
             chunk_seg[None, :])
 
 
@@ -513,6 +554,7 @@ def pack_samples(
     samples: np.ndarray,
     lower: Sequence[float],
     segment_ids: Optional[np.ndarray] = None,
+    weights: Optional[np.ndarray] = None,
     chunk: int = DEFAULT_CHUNK,
 ) -> np.ndarray:
     """Host-side packing: (n, nfields) -> (nrows, npad/128, 128) f32.
@@ -520,21 +562,29 @@ def pack_samples(
     Pads the sample count up to a multiple of ``chunk`` with
     out-of-domain values (they fail the domain cut, contributing
     nothing, pdfz.cpp:390-394).  When ``segment_ids`` is given it is
-    appended as an extra row for batched multi-PDF builds.
+    appended as an extra row for batched multi-PDF builds; ``weights``
+    as a further row for weighted histograms (an extension the
+    reference planned but withdrew, SURVEY.md section 4).
     """
     samples = np.asarray(samples, np.float32)
     n, nfields = samples.shape
     npad = -(-n // chunk) * chunk
 
-    nrows = nfields + (1 if segment_ids is not None else 0)
+    nrows = (nfields + (1 if segment_ids is not None else 0)
+             + (1 if weights is not None else 0))
     out = np.empty((nrows, npad), np.float32)
     pad_value = np.float32(lower[0] - 1e9)
     for f in range(nfields):
         out[f, :n] = samples[:, f]
         out[f, n:] = pad_value
+    row = nfields
     if segment_ids is not None:
-        out[nfields, :n] = segment_ids
-        out[nfields, n:] = 0
+        out[row, :n] = segment_ids
+        out[row, n:] = 0
+        row += 1
+    if weights is not None:
+        out[row, :n] = np.asarray(weights, np.float32)
+        out[row, n:] = 0.0
     return out.reshape(nrows, npad // LANES, LANES)
 
 

@@ -97,6 +97,8 @@ class EvalHist:
         self.lower_host = tuple(float(x) for x in lower)
         self.upper_host = tuple(float(x) for x in upper)
         self.samples = jnp.asarray(samples)
+        self.weights_host = (None if weights is None
+                             else np.asarray(weights, np.float32))
         self.weights = (None if weights is None
                         else jnp.asarray(weights, jnp.float32))
         self.nfields = nfields
@@ -113,7 +115,7 @@ class EvalHist:
         # compiles far faster and is plenty.  The fit hot loop uses the
         # batched PdfStack, which always uses Pallas on TPU.  Opt in
         # here for repeated single-PDF evaluation at scale.
-        self.use_pallas = (use_pallas and weights is None and
+        self.use_pallas = (use_pallas and
                            jax.default_backend() == "tpu")
         self._packed = None
 
@@ -166,13 +168,15 @@ class EvalHist:
 
             if self._packed is None:
                 self._packed = jnp.asarray(pallas_hist.pack_samples(
-                    self.samples_host, self.lower_host))
+                    self.samples_host, self.lower_host,
+                    weights=self.weights_host))
             bins = pallas_hist.pallas_histogram(
                 self._packed, params,
                 nfields=self.nfields, nobs=self.nobservables,
                 systematics=tuple((d, None) for d in self.systematics),
                 lower=self.lower_host, upper=self.upper_host,
-                nbins=self.nbins)
+                nbins=self.nbins,
+                has_weights=self.weights_host is not None)
             return bins, bins.sum()
         return _histogram(self.samples, params,
                           self.weights, self.lower, self.upper, self.nbins,

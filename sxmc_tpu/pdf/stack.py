@@ -111,8 +111,10 @@ class PdfStack:
                 s.histogram.weights is not None
                 else np.ones(a.shape[0], np.float32)
                 for s, a in zip(signals, sample_arrays)])
+            self.sample_weights_host = np.asarray(w, np.float32)
             self.sample_weights = jnp.asarray(w, jnp.float32)
         else:
+            self.sample_weights_host = None
             self.sample_weights = None
 
         # Global systematics with per-signal application masks: signal j
@@ -130,8 +132,7 @@ class PdfStack:
             for s in systematics)
         self.nsyst_params = sum(s.npars for s in systematics)
 
-        self.use_pallas = (jax.default_backend() == "tpu" and
-                           not self.has_weights)
+        self.use_pallas = jax.default_backend() == "tpu"
         self._packed = None
         self._per_segment = False
         if self.use_pallas:
@@ -152,7 +153,8 @@ class PdfStack:
                     np.bincount(seg, minlength=self.nsignals))
                 packed, chunk_seg = pallas_hist.pack_samples_per_segment(
                     np.concatenate(sample_arrays, axis=0), lower, seg,
-                    self.nsignals, chunk=self._seg_chunk)
+                    self.nsignals, chunk=self._seg_chunk,
+                    weights=self.sample_weights_host)
                 self._packed = jnp.asarray(packed)
                 self._chunk_seg = chunk_seg  # host numpy (embeds in jit)
                 rows = []
@@ -170,7 +172,8 @@ class PdfStack:
             else:
                 self._packed = jnp.asarray(pallas_hist.pack_samples(
                     np.concatenate(sample_arrays, axis=0),
-                    lower, segment_ids=seg))
+                    lower, segment_ids=seg,
+                    weights=self.sample_weights_host))
                 self._pallas_systs = tuple(
                     (ms.desc,
                      None if all(ms.signal_mask) else
@@ -248,7 +251,8 @@ class PdfStack:
                     nobs=self.nobservables,
                     systematics=self._pallas_systs,
                     lower=self.lower_host, upper=self.upper_host,
-                    nbins=self.nbins, nsegments=self.nsignals)
+                    nbins=self.nbins, nsegments=self.nsignals,
+                    has_weights=self.has_weights)
             hists = flat.reshape(self.nsignals, self.total_nbins)
             norms = hists.sum(axis=1)
         else:

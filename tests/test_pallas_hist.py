@@ -105,6 +105,57 @@ class TestPallasEquivalence:
         assert float(got.sum()) == 77
 
 
+class TestWeightedPallas:
+    """Weighted samples stay on the Pallas path (weights row)."""
+
+    def test_weighted_matches_jnp(self):
+        rng = np.random.default_rng(21)
+        n = 4000
+        samples = rng.normal(0.5, 0.2, (n, 1)).astype(np.float32)
+        weights = rng.uniform(0.1, 3.0, n).astype(np.float32)
+        theta = jnp.array([0.02], jnp.float32)
+        systs = (SystematicDesc(SHIFT, obs=0, par_indices=(0,)),)
+        lower, upper, nbins = (0.0,), (1.0,), (50,)
+
+        transformed = apply_systematics(jnp.asarray(samples), theta,
+                                        systs)
+        ids, valid = hist_ops.compute_bin_ids(
+            transformed[:, :1], jnp.asarray(lower), jnp.asarray(upper),
+            nbins)
+        ref = hist_ops.fixed_bincount(
+            ids, valid.astype(jnp.float32) * weights, 50)
+
+        packed = pallas_hist.pack_samples(samples, lower,
+                                          weights=weights, chunk=CHUNK)
+        got = pallas_hist.pallas_histogram(
+            jnp.asarray(packed), theta, nfields=1, nobs=1,
+            systematics=tuple((d, None) for d in systs),
+            lower=lower, upper=upper, nbins=nbins, chunk=CHUNK,
+            has_weights=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   rtol=1e-6)
+
+    def test_weighted_segmented(self):
+        rng = np.random.default_rng(23)
+        n = 3000
+        samples = rng.uniform(0, 1, (n, 1)).astype(np.float32)
+        weights = rng.uniform(0.5, 2.0, n).astype(np.float32)
+        seg = np.sort(rng.integers(0, 3, n))
+        packed, chunk_seg = pallas_hist.pack_samples_per_segment(
+            samples, (0.0,), seg, 3, chunk=CHUNK, weights=weights)
+        got = pallas_hist.pallas_histogram_segmented(
+            jnp.asarray(packed), jnp.asarray(chunk_seg),
+            jnp.ones((1, 3), jnp.int32), jnp.zeros(1), nfields=1,
+            nobs=1, systematics=(), lower=(0.0,), upper=(1.0,),
+            nbins=(8,), nsegments=3, chunk=CHUNK, interpret=True)
+        got = np.asarray(got).reshape(3, 8)
+        for s in range(3):
+            sel = seg == s
+            ref, _ = np.histogram(samples[sel, 0], bins=8,
+                                  range=(0.0, 1.0), weights=weights[sel])
+            np.testing.assert_allclose(ref, got[s], rtol=1e-6)
+
+
 class TestPerSegmentKernel:
     """The per-segment variant (one signal per grid chunk)."""
 
