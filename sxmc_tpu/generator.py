@@ -120,6 +120,7 @@ def make_fake_dataset_batch(
     poisson: bool = True,
     stack=None,
     rates=None,
+    fluctuate_systematics: bool = False,
 ) -> np.ndarray:
     """Generate ``ntoys`` fake datasets as one padded batch.
 
@@ -127,6 +128,14 @@ def make_fake_dataset_batch(
     Poisson draws, bin choices, and within-bin positions for all toys of
     a signal are single batched ``jax.random`` calls — the toy-MC
     front-end for belt constructions and vmapped ensembles.
+
+    ``fluctuate_systematics=True`` draws each toy's systematic
+    coefficients from their Gaussian constraints (theta ~ N(mean,
+    sigma); fixed or unconstrained coefficients stay nominal) and
+    generates that toy from the PDFs AND efficiencies at its own theta
+    — one batched (ntoys x signals) histogram build.  This propagates
+    constrained systematics into toy-MC limits (FC belts, CLs), which
+    the plug-in prescription underestimates.
 
     Returns ``(ntoys, nev_max, nobs + 1)`` float32 where padding rows
     carry dataset tag -1 (the unknown-dataset sentinel that is provably
@@ -142,9 +151,28 @@ def make_fake_dataset_batch(
         stack = PdfStack(signals, observables, systematics)
 
     theta = nominal_params(systematics)
-    hists, norms = stack.histograms(theta)
-    hists = np.asarray(hists)
-    norms = np.asarray(norms)
+    key = jax.numpy.asarray(key)
+
+    syst_sigmas = np.zeros_like(theta)
+    for syst in systematics:
+        if syst.fixed:
+            continue
+        for j, pidx in enumerate(syst.pidx):
+            syst_sigmas[pidx] = syst.sigmas[j]
+    fluctuate = fluctuate_systematics and (syst_sigmas > 0).any()
+
+    if fluctuate:
+        k_theta, key = jax.random.split(key)
+        thetas = theta[None, :] + np.asarray(jax.random.normal(
+            k_theta, (ntoys, theta.shape[0]))) * syst_sigmas[None, :]
+        hists_b, norms_b = stack.histograms_batch(
+            jax.numpy.asarray(thetas, jax.numpy.float32))
+        hists_b = np.asarray(hists_b)     # (ntoys, nsig, nbins)
+        norms_b = np.asarray(norms_b)     # (ntoys, nsig)
+    else:
+        hists, norms = stack.histograms(theta)
+        hists = np.asarray(hists)
+        norms = np.asarray(norms)
 
     uppers = [o.upper for o in observables]
     lowers = [o.lower for o in observables]
@@ -156,21 +184,34 @@ def make_fake_dataset_batch(
     chunks = []
     keys = jax.random.split(key, len(signals))
     for i, (sig, k) in enumerate(zip(signals, keys)):
-        eff = float(norms[i]) / sig.n_mc
         rate = 1.0 if rates is None else float(rates.get(sig.name, 1.0))
-        mu = rate * sig.nexpected * eff
-        probs = _bounded_probs(hists[i], stack.nbins, lo, hi,
-                               uppers, lowers)
         k_n, k_bin, k_pos = jax.random.split(jax.numpy.asarray(k), 3)
-        if poisson:
-            n = np.asarray(jax.random.poisson(k_n, mu, (ntoys,)))
+        if fluctuate:
+            # Per-toy efficiency and PDF shape at that toy's theta.
+            eff = norms_b[:, i] / sig.n_mc                 # (ntoys,)
+            mu = rate * sig.nexpected * eff
+            probs = np.stack([
+                _bounded_probs(hists_b[t, i], stack.nbins, lo, hi,
+                               uppers, lowers) for t in range(ntoys)])
+            if probs.sum() <= 0:
+                continue
+            logits = jax.numpy.log(jax.numpy.asarray(
+                np.maximum(probs, 1e-300)))[:, None, :]
         else:
-            n = np.full(ntoys, int(np.floor(mu + 0.5)))
+            eff = float(norms[i]) / sig.n_mc
+            mu = np.full(ntoys, rate * sig.nexpected * eff)
+            probs = _bounded_probs(hists[i], stack.nbins, lo, hi,
+                                   uppers, lowers)
+            if probs.sum() <= 0:
+                continue
+            logits = jax.numpy.log(jax.numpy.asarray(
+                np.maximum(probs, 1e-300)))
+        if poisson:
+            n = np.asarray(jax.random.poisson(
+                k_n, jax.numpy.asarray(mu)))
+        else:
+            n = np.floor(mu + 0.5).astype(np.int64)
         nmax = max(int(n.max()), 1)
-        if probs.sum() <= 0:
-            continue
-        logits = jax.numpy.log(jax.numpy.asarray(
-            np.maximum(probs, 1e-300)))
         bin_idx = np.asarray(jax.random.categorical(
             k_bin, logits, shape=(ntoys, nmax)))
         u = np.asarray(jax.random.uniform(k_pos, (ntoys, nmax, nobs)),

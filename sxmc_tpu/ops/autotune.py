@@ -1,19 +1,107 @@
-"""Offline autotuner for the Pallas histogram kernels.
+"""Autotuner for the Pallas histogram kernels, with a persisted cache.
 
-The reference brute-forces CUDA launch configurations at runtime
-(reference: EvalHist::Optimize{,Bin,Eval}, pdfz.cpp:622-814).  On TPU
-the only free parameter is the sample-chunk size per grid step; XLA and
-Mosaic handle the rest.  This harness sweeps chunk sizes with the
-slope-timing methodology (see bench.py) and reports the best — run it
-offline, not inside fits.
+The reference brute-forces CUDA launch configurations at the first
+evaluation with a 10% improvement hysteresis (reference:
+EvalHist::Optimize{,Bin,Eval}, pdfz.cpp:622-814).  On TPU the only free
+parameter is the sample-chunk size per grid step; XLA and Mosaic handle
+the rest.  Because a remote TPU compile costs tens of seconds per chunk
+candidate, the sweep runs OUT of the fit (``python -m
+sxmc_tpu.ops.autotune --record``) and its verdicts persist to a JSON
+cache that production kernels consult at construction
+(PdfStack/pick chunk): the reference's tune-at-first-eval feedback
+loop, amortized across processes instead of paid per fit.  The same
+hysteresis applies: a measured chunk replaces the heuristic only if
+>=10% faster.
+
+Cache location: $SXMC_TPU_AUTOTUNE_CACHE or
+~/.cache/sxmc_tpu/autotune.json.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import time
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
+
+_CACHE_ENV = "SXMC_TPU_AUTOTUNE_CACHE"
+
+
+def cache_path() -> str:
+    p = os.environ.get(_CACHE_ENV)
+    if p:
+        return p
+    return os.path.join(os.path.expanduser("~"), ".cache", "sxmc_tpu",
+                        "autotune.json")
+
+
+def load_cache() -> dict:
+    try:
+        with open(cache_path()) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def save_cache(cache: dict) -> None:
+    p = cache_path()
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cache, f, indent=1, sort_keys=True)
+    os.replace(tmp, p)
+
+
+def _bucket(n: int) -> int:
+    """Power-of-two sample-count bucket (tunings generalize within)."""
+    b = 1
+    while b * 2 <= max(n, 1):
+        b *= 2
+    return b
+
+
+def cache_key(kind: str, total_nbins: int, nsegments: int,
+              nsamples: int) -> str:
+    return f"{kind}:{total_nbins}:{nsegments}:{_bucket(nsamples)}"
+
+
+def tuned_chunk(kind: str, total_nbins: int, nsegments: int,
+                nsamples: int, default: int,
+                cache: Optional[dict] = None) -> int:
+    """Production lookup: the recorded best chunk for this shape, or
+    ``default`` (the heuristic) when no tuning has been recorded."""
+    if cache is None:
+        cache = load_cache()
+    rec = cache.get(cache_key(kind, total_nbins, nsegments, nsamples))
+    if isinstance(rec, dict) and "chunk" in rec:
+        return int(rec["chunk"])
+    return default
+
+
+def record_tuning(kind: str, total_nbins: int, nsegments: int,
+                  nsamples: int, results: Dict[int, float],
+                  heuristic_chunk: int,
+                  hysteresis: float = 0.10) -> Optional[int]:
+    """Persist a sweep verdict with the reference's 10% hysteresis:
+    only record (and thereby override the heuristic) if the best
+    measured chunk beats the heuristic's own measurement by more than
+    ``hysteresis`` (pdfz.cpp:712-719 semantics)."""
+    best = min(results, key=results.get)
+    base = results.get(heuristic_chunk)
+    if base is not None and \
+            results[best] > (1.0 - hysteresis) * base:
+        return None  # not convincingly better: keep the heuristic
+    cache = load_cache()
+    cache[cache_key(kind, total_nbins, nsegments, nsamples)] = {
+        "chunk": int(best),
+        "seconds": results[best],
+        "heuristic_chunk": int(heuristic_chunk),
+        "heuristic_seconds": base,
+    }
+    save_cache(cache)
+    return int(best)
 
 
 def _timed_value(fn, *args) -> float:
@@ -37,8 +125,11 @@ def tune_histogram_chunk(
 
     from sxmc_tpu.ops import pallas_hist
 
+    from sxmc_tpu.ops.transforms import SHIFT, SystematicDesc
+
     rng = np.random.default_rng(seed)
     samples = rng.normal(0.5, 0.15, (nsamples, 1)).astype(np.float32)
+    syst = SystematicDesc(SHIFT, obs=0, par_indices=(0,))
 
     results: Dict[int, float] = {}
     for chunk in chunks:
@@ -49,11 +140,13 @@ def tune_histogram_chunk(
             @jax.jit
             def f(packed):
                 def body(i, acc):
-                    theta = jnp.zeros((0,), jnp.float32)
+                    # theta varies per iteration so XLA cannot hoist
+                    # the (loop-invariant) build out of the rep loop.
+                    theta = jnp.full((1,), 1e-6 * i, jnp.float32)
                     bins = pallas_hist.pallas_histogram(
                         packed, theta, nfields=1, nobs=1,
-                        systematics=(), lower=(0.0,), upper=(1.0,),
-                        nbins=nbins, chunk=chunk)
+                        systematics=((syst, None),), lower=(0.0,),
+                        upper=(1.0,), nbins=nbins, chunk=chunk)
                     return acc + bins[0] + jnp.float32(i)
                 return jax.lax.fori_loop(0, nreps, body, jnp.float32(0))
             return f
@@ -66,15 +159,90 @@ def tune_histogram_chunk(
     return results
 
 
-def main():
-    import json
+def tune_segmented_chunk(
+    counts: Sequence[int],
+    nbins: Tuple[int, ...] = (1000,),
+    chunks: Sequence[int] = (8192, 16384, 32768, 65536),
+    reps: Tuple[int, int] = (20, 100),
+    seed: int = 0,
+) -> Dict[int, float]:
+    """Sweep the per-segment kernel's chunk for a segment-size mix."""
+    import jax
+    import jax.numpy as jnp
+
+    from sxmc_tpu.ops import histogram as hist_ops
+    from sxmc_tpu.ops import pallas_hist
+
+    counts = np.asarray(counts, np.int64)
+    nsegments = len(counts)
+    total = int(counts.sum())
+    rng = np.random.default_rng(seed)
+    samples = rng.normal(0.5, 0.15, (total, 1)).astype(np.float32)
+    seg = np.repeat(np.arange(nsegments), counts)
+    total_nbins = hist_ops.total_bins(nbins)
+
+    results: Dict[int, float] = {}
+    for chunk in chunks:
+        packed_np, chunk_seg = pallas_hist.pack_samples_per_segment(
+            samples, [0.0], seg, nsegments, chunk=chunk)
+        packed = jnp.asarray(packed_np)
+        mask = np.ones((1, nsegments), np.int32)
+
+        def make(nreps, chunk=chunk, chunk_seg=chunk_seg, mask=mask):
+            @jax.jit
+            def f(packed):
+                def body(i, acc):
+                    theta = jnp.zeros((0,), jnp.float32)
+                    bins = pallas_hist.pallas_histogram_segmented(
+                        packed, chunk_seg, mask, theta, nfields=1,
+                        nobs=1, systematics=(), lower=(0.0,),
+                        upper=(1.0,), nbins=nbins,
+                        nsegments=nsegments, chunk=chunk)
+                    return acc + bins[0] + jnp.float32(i)
+                return jax.lax.fori_loop(0, nreps, body, jnp.float32(0))
+            return f
+
+        lo, hi = reps
+        f_lo, f_hi = make(lo), make(hi)
+        t_lo = min(_timed_value(f_lo, packed) for _ in range(2))
+        t_hi = min(_timed_value(f_hi, packed) for _ in range(2))
+        results[chunk] = max(t_hi - t_lo, 1e-9) / (hi - lo)
+    return results
+
+
+def main(argv=None):
+    import sys
+
+    argv = sys.argv[1:] if argv is None else argv
+    record = "--record" in argv
+
+    from sxmc_tpu.ops import pallas_hist
 
     res = tune_histogram_chunk()
     best = min(res, key=res.get)
-    print(json.dumps({
-        "chunk_seconds": {str(k): v for k, v in res.items()},
-        "best_chunk": best,
-    }))
+    out = {"chunk_seconds": {str(k): v for k, v in res.items()},
+           "best_chunk": best}
+    if record:
+        b1, b2, _ = pallas_hist._balanced_split(1000)
+        heuristic = pallas_hist._auto_chunk(b1, b2)
+        out["recorded"] = record_tuning(
+            "global", 1000, 1, 1_000_000, res, heuristic)
+
+    # Representative segmented mix (the 29-signal group scenario).
+    rng = np.random.default_rng(29)
+    raw = np.exp(rng.uniform(np.log(1e3), np.log(3e6), 29))
+    counts = np.maximum((raw * (4.9e6 / raw.sum())).astype(int), 100)
+    res_seg = tune_segmented_chunk(counts)
+    best_seg = min(res_seg, key=res_seg.get)
+    out["segmented_chunk_seconds"] = {str(k): v
+                                      for k, v in res_seg.items()}
+    out["best_segmented_chunk"] = best_seg
+    if record:
+        heuristic = pallas_hist.pick_segment_chunk(counts)
+        out["recorded_segmented"] = record_tuning(
+            "segmented", 1000, 29, int(counts.sum()), res_seg,
+            heuristic)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -63,6 +63,17 @@ class EvalKDE(EvalHist):
         machinery (PdfStack, generator, plots) unchanged, with the
         KDE's smoothness baked into the bin contents.
 
+        Approximation note: inside fits the KDE is evaluated at bin
+        CENTERS and events read the piecewise-constant LUT, so the
+        in-fit density carries an extra O(w^2/12 * f'') discretization
+        bias on top of the KDE's own O(h^2) smoothing (w = bin width,
+        h = bandwidth).  With the default 64-bins-per-axis grid,
+        w << h for any reasonable bandwidth and the LUT bias is
+        negligible against the KDE bias; raise ``nbins`` if a very
+        narrow bandwidth_scale makes w ~ h.  Exact (ungridded)
+        evaluation at arbitrary points is available standalone via
+        :meth:`eval_points`.
+
         ``samples`` optionally supplies the MC array as an explicit jit
         argument (PdfStack threads it through device_data so it is
         never a closure constant).

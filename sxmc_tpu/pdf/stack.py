@@ -149,8 +149,17 @@ class PdfStack:
             self._per_segment = (self.nsignals > 1 and
                                  acc_bytes <= (4 << 20))
             if self._per_segment:
-                self._seg_chunk = pallas_hist.pick_segment_chunk(
+                from sxmc_tpu.ops import autotune
+
+                # Heuristic chunk, overridden by a recorded autotune
+                # verdict for this shape when one exists (the
+                # reference's tune-at-first-eval feedback, pdfz.cpp:
+                # 622-814, amortized through a persisted cache).
+                heuristic = pallas_hist.pick_segment_chunk(
                     np.bincount(seg, minlength=self.nsignals))
+                self._seg_chunk = autotune.tuned_chunk(
+                    "segmented", self.total_nbins, self.nsignals,
+                    int(self.samples_host.shape[0]), heuristic)
                 packed, chunk_seg = pallas_hist.pack_samples_per_segment(
                     np.concatenate(sample_arrays, axis=0), lower, seg,
                     self.nsignals, chunk=self._seg_chunk,
@@ -339,9 +348,16 @@ class PdfStack:
         thetas = jnp.asarray(thetas, jnp.float32)
         if device_data is None:
             device_data = self.device_data
-        if (self.use_pallas and self._per_segment and not self.has_kde):
+        if self.use_pallas and self._per_segment and not self.has_kde:
             from sxmc_tpu.ops import pallas_hist
 
+            b1, b2, _ = pallas_hist._balanced_split(self.total_nbins)
+            acc = thetas.shape[0] * self.nsignals * b1 * max(b2, 128) * 4
+            if acc > (4 << 20):
+                # Batched accumulator would not fit VMEM (huge toy
+                # batches): fall back to vmapped single builds.
+                return jax.vmap(
+                    lambda t: self.histograms(t, device_data))(thetas)
             packed = device_data[0]
             flat = pallas_hist.pallas_histogram_segmented(
                 packed, self._chunk_seg, self._mask_matrix, thetas,

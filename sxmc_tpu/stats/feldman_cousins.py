@@ -60,8 +60,15 @@ class FeldmanCousins:
     # ------------------------------------------------------------------
 
     def build_belt(self, key, r_grid: Sequence[float], ntoys: int = 200,
-                   cl: float = 0.9, verbose: bool = False) -> Belt:
-        """Toy-MC the belt: (G * ntoys) datasets, one vmapped fit batch."""
+                   cl: float = 0.9, verbose: bool = False,
+                   fluctuate_systematics: bool = False) -> Belt:
+        """Toy-MC the belt: (G * ntoys) datasets, one vmapped fit batch.
+
+        ``fluctuate_systematics=True`` draws each toy's constrained
+        systematic coefficients from their priors (generator-level
+        propagation; the per-toy fits keep the plug-in theta), which
+        widens the belt accordingly.
+        """
         mle = self.mle
         r_grid = np.asarray(r_grid, np.float32)
 
@@ -75,7 +82,8 @@ class FeldmanCousins:
             per_point.append(make_fake_dataset_batch(
                 keys[gi], self._signals, self._systematics,
                 self._observables, ntoys, poisson=True, stack=mle.stack,
-                rates=self._toy_rates(float(r))))
+                rates=self._toy_rates(float(r)),
+                fluctuate_systematics=fluctuate_systematics))
         nev_max = max(max(p.shape[1] for p in per_point), 1)
         width = per_point[0].shape[2]
         batch = np.full((len(r_grid) * ntoys, nev_max, width), -1.0,
