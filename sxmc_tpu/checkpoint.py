@@ -139,14 +139,24 @@ def run_checkpointed_hmc(
     seed: int = 0,
     verbose: bool = False,
 ) -> LikelihoodSpace:
-    """HMC with periodic state checkpoints.
+    """HMC/NUTS with periodic state checkpoints.
 
     Semantics match HMC.__call__ (sxmc_tpu.mcmc.hmc): a dual-averaging
     warmup phase followed by sampling at the adapted (step size, mass).
-    Both phases run in explicit-carry segments (hmc.warmup_segment /
-    hmc.main_segment), so preemption loses at most one segment.
+    Both phases run in explicit-carry segments (warmup_segment /
+    main_segment of the sampler's module), so preemption loses at most
+    one segment.  Pass a NUTS instance to checkpoint NUTS chains —
+    the same machinery dispatches on the sampler type.
     """
-    from sxmc_tpu.mcmc import hmc as hmc_mod
+    from sxmc_tpu.mcmc import hmc as hmc_base
+    from sxmc_tpu.mcmc import nuts as nuts_mod
+
+    if isinstance(hmc, nuts_mod.NUTS):
+        hmc_mod = nuts_mod
+        seg_args = (hmc.max_depth, hmc.target_accept)
+    else:
+        hmc_mod = hmc_base
+        seg_args = (hmc.num_leapfrog, hmc.target_accept)
 
     hmc.stack.set_data(np.asarray(data, np.float32))
     rb = hmc.stack._read_bins
@@ -159,7 +169,7 @@ def run_checkpointed_hmc(
     state = load_chain_state(checkpoint_path)
     if state is None:
         q, u, le, leb, hb, t = hmc_mod.initial_warm_carry(
-            hmc, rb, dd, hmc.num_leapfrog, hmc.target_accept)
+            hmc, rb, dd, *seg_args)
         state = {
             "q": np.asarray(q), "u": np.float32(u),
             "log_eps": np.float32(le), "log_eps_bar": np.float32(leb),
@@ -186,8 +196,7 @@ def run_checkpointed_hmc(
                      jnp.asarray(state["log_eps_bar"]),
                      jnp.asarray(state["h_bar"]), jnp.asarray(state["t"]))
             carry, warm_qs = hmc_mod.warmup_segment(
-                hmc, carry, rb, dd, seg_key, n, hmc.num_leapfrog,
-                hmc.target_accept)
+                hmc, carry, rb, dd, seg_key, n, *seg_args)
             q, u, le, leb, hb, t = carry
             state.update({
                 "q": np.asarray(q), "u": np.float32(u),
@@ -198,14 +207,14 @@ def run_checkpointed_hmc(
             })
             if total_done + n == warmup:
                 state["eps"] = np.float32(np.exp(state["log_eps_bar"]))
-                state["inv_mass"] = np.asarray(hmc_mod.mass_from_warmup(
+                state["inv_mass"] = np.asarray(hmc_base.mass_from_warmup(
                     hmc, jnp.asarray(state["warm_qs"])))
         else:
             (q, u), (samples, nlls, _) = hmc_mod.main_segment(
                 hmc, jnp.asarray(state["q"]), jnp.asarray(state["u"]),
                 jnp.asarray(state["eps"]),
                 jnp.asarray(state["inv_mass"]), rb, dd, seg_key, n,
-                hmc.num_leapfrog)
+                seg_args[0])
             state.update({
                 "q": np.asarray(q), "u": np.float32(u),
                 "kept": np.concatenate(

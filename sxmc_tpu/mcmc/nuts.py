@@ -85,9 +85,13 @@ def _run_nuts_chains(nuts: NUTS, chain_keys, read_bins, device_data,
         chain_keys, read_bins, device_data)
 
 
-def _run_nuts_single(nuts: NUTS, key, read_bins, device_data, *,
-                     warmup: int, keep: int, max_depth: int,
-                     target_accept: float):
+def _make_nuts_fns(nuts: NUTS, read_bins, device_data, max_depth: int,
+                   target_accept: float):
+    """Shared machinery (mirrors hmc._make_hmc_fns): warm/main scan
+    bodies with explicit carries, used by the fused runner and the
+    checkpointable segment entry points."""
+    import types
+
     from sxmc_tpu.ops.nll import nll as nll_fn
 
     nsources = nuts.nsources
@@ -274,34 +278,83 @@ def _run_nuts_single(nuts: NUTS, key, read_bins, device_data, *,
         log_eps_bar = pow_t * log_eps + (1.0 - pow_t) * log_eps_bar
         return (q, U_q, log_eps, log_eps_bar, h_bar, t), (q, a_prob)
 
-    # eps is captured by nuts_step via closure per call; rebind inside
-    # bodies explicitly:
-    def warm_scan(carry, step_key):
-        q, U_q, log_eps, log_eps_bar, h_bar, t = carry
-        return warm_body(carry, step_key)
+    def jacobian(q):
+        return jnp.sum(jnp.where(is_rate & free, q, 0.0))
 
-    U0 = potential(q0)
+    def main_body(eps, inv_mass):
+        def body(carry, step_key):
+            q, U_q = carry
+            q, U_q, alpha = nuts_step(q, U_q, eps, inv_mass, step_key)
+            params = to_constrained(q)
+            return (q, U_q), (params, U_q + jacobian(q), alpha)
+        return body
+
+    return types.SimpleNamespace(
+        potential=potential, warm_body=warm_body, main_body=main_body,
+        q0=q0, inv_mass0=inv_mass0, free=free,
+        to_constrained=to_constrained, jacobian=jacobian)
+
+
+def _run_nuts_single(nuts: NUTS, key, read_bins, device_data, *,
+                     warmup: int, keep: int, max_depth: int,
+                     target_accept: float):
+    fns = _make_nuts_fns(nuts, read_bins, device_data, max_depth,
+                         target_accept)
+    eps0 = jnp.float32(0.1)
+
+    U0 = fns.potential(fns.q0)
     k_warm, k_main = jax.random.split(key)
     warm_keys = jax.random.split(k_warm, warmup)
     carry, (warm_qs, _) = jax.lax.scan(
-        warm_scan, (q0, U0, jnp.log(eps0), jnp.log(eps0), 0.0, 0.0),
+        fns.warm_body,
+        (fns.q0, U0, jnp.log(eps0), jnp.log(eps0), 0.0, 0.0),
         warm_keys)
     q, U_q, _, log_eps_bar, _, _ = carry
     eps = jnp.exp(log_eps_bar)
 
     half = warm_qs[warmup // 2:]
     var = jnp.var(half, axis=0)
-    inv_mass = jnp.where(free, jnp.maximum(var, 1e-8), 0.0)
+    inv_mass = jnp.where(fns.free, jnp.maximum(var, 1e-8), 0.0)
 
     # ---- sampling ----
-    def main_body(carry, step_key):
-        q, U_q = carry
-        q, U_q, alpha = nuts_step(q, U_q, eps, inv_mass, step_key)
-        params = to_constrained(q)
-        jac = jnp.sum(jnp.where(is_rate & free, q, 0.0))
-        return (q, U_q), (params, U_q + jac, alpha)
-
     main_keys = jax.random.split(k_main, keep)
     _, (samples, nlls, alphas) = jax.lax.scan(
-        main_body, (q, U_q), main_keys)
+        fns.main_body(eps, inv_mass), (q, U_q), main_keys)
     return samples, nlls, alphas.mean()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nuts", "nsteps", "max_depth", "target_accept"))
+def warmup_segment(nuts: NUTS, carry, read_bins, device_data, key,
+                   nsteps: int, max_depth: int, target_accept: float):
+    """One checkpointable slice of NUTS warmup (explicit
+    dual-averaging carry, see sxmc_tpu.checkpoint)."""
+    fns = _make_nuts_fns(nuts, read_bins, device_data, max_depth,
+                         target_accept)
+    keys = jax.random.split(key, nsteps)
+    carry, (warm_qs, _) = jax.lax.scan(fns.warm_body, carry, keys)
+    return carry, warm_qs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nuts", "nsteps", "max_depth"))
+def main_segment(nuts: NUTS, q, U_q, eps, inv_mass, read_bins,
+                 device_data, key, nsteps: int, max_depth: int):
+    """One checkpointable slice of NUTS sampling."""
+    fns = _make_nuts_fns(nuts, read_bins, device_data, max_depth, 0.8)
+    keys = jax.random.split(key, nsteps)
+    (q, U_q), (samples, nlls, alphas) = jax.lax.scan(
+        fns.main_body(eps, inv_mass), (q, U_q), keys)
+    return (q, U_q), (samples, nlls, alphas.mean())
+
+
+def initial_warm_carry(nuts: NUTS, read_bins, device_data,
+                       max_depth: int, target_accept: float):
+    """Fresh dual-averaging warmup carry for segment-mode NUTS."""
+    fns = _make_nuts_fns(nuts, read_bins, device_data, max_depth,
+                         target_accept)
+    eps0 = jnp.float32(0.1)
+    U0 = fns.potential(fns.q0)
+    return (fns.q0, U0, jnp.log(eps0), jnp.log(eps0), jnp.float32(0.0),
+            jnp.float32(0.0))

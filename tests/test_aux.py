@@ -126,6 +126,26 @@ class TestCheckpoint:
         assert abs(m1 - m2) < 6 * s1
         assert np.isfinite(ls2.nll_values).all()
 
+    def test_nuts_checkpoint_resume(self, tmp_path):
+        from sxmc_tpu.mcmc.nuts import NUTS
+
+        obs, systs, sources, signals = make_fixture()
+        data = make_fake_dataset(jax.random.PRNGKey(4), signals, systs,
+                                 [obs], poisson=False)
+        nuts = NUTS(sources, signals, systs, [obs], max_depth=3)
+
+        p = str(tmp_path / "n1.npz")
+        checkpoint.run_checkpointed_hmc(
+            nuts, data, nsteps=120, burnin_fraction=0.5,
+            segment_steps=30, checkpoint_path=p, seed=5)
+        st = checkpoint.load_chain_state(p)
+        assert int(st["step"]) == 120
+        ls = checkpoint.run_checkpointed_hmc(
+            nuts, data, nsteps=240, burnin_fraction=0.25,
+            segment_steps=30, checkpoint_path=p, seed=5)
+        assert ls.samples.shape[0] == 180
+        assert np.isfinite(ls.nll_values).all()
+
     def test_state_roundtrip(self, tmp_path):
         p = str(tmp_path / "s.npz")
         state = {"params": np.arange(3, dtype=np.float32),
