@@ -237,6 +237,58 @@ def smoke_eval_lut():
                                rtol=1e-6, equal_nan=True)
 
 
+@case("stack_static_mix")
+def smoke_stack_static():
+    """PdfStack with a static (no-systematic) signal on the device
+    path: dynamic kernel + host-precomputed static rows must equal the
+    full jnp reference, single and batched."""
+    import jax.numpy as jnp
+
+    from sxmc_tpu.pdf.stack import PdfStack
+    from sxmc_tpu.signal import Observable, Signal, Source, Systematic
+
+    rng = np.random.default_rng(8)
+    obs = Observable(name="energy", field="energy", bins=100, lower=0.0,
+                     upper=10.0, field_index=0)
+    syst = Systematic(name="shift", type=0, observable_field="energy",
+                      means=[0.0], sigmas=[0.1],
+                      observable_field_index=0, pidx=[0])
+    fields = ["energy", "DATASET"]
+    mc_dyn = rng.normal(5, 1.5, (150_000, 1)).astype(np.float32)
+    mc_sta = rng.uniform(0, 10, (250_000, 1)).astype(np.float32)
+    sig = Signal.from_table(
+        "sig", "s", mc_dyn, ["energy"], 0,
+        Source(name="s", index=0, mean=1.0), 100.0, fields, [obs], [],
+        [syst])
+    bkg = Signal.from_table(
+        "bkg", "b", mc_sta, ["energy"], 0,
+        Source(name="b", index=1, mean=1.0), 200.0, fields, [obs], [],
+        [])
+    stack = PdfStack([sig, bkg], [obs], [syst])
+    assert stack.use_pallas and stack._static_idx == (1,)
+
+    from sxmc_tpu.ops.transforms import SHIFT, SystematicDesc
+
+    desc = SystematicDesc(SHIFT, obs=0, par_indices=(0,))
+    for theta in ([0.0], [0.21]):
+        h, n = stack.histograms(jnp.asarray(theta, jnp.float32))
+        h = np.asarray(h)
+        ref_dyn = _jnp_reference(mc_dyn, jnp.asarray(theta), (desc,),
+                                 (0.0,), (10.0,), (100,))
+        ref_sta = _jnp_reference(mc_sta, jnp.asarray(theta), (),
+                                 (0.0,), (10.0,), (100,))
+        np.testing.assert_array_equal(np.asarray(ref_dyn), h[0])
+        np.testing.assert_array_equal(np.asarray(ref_sta), h[1])
+    thetas = jnp.asarray([[0.0], [0.1], [-0.1]], jnp.float32)
+    hb, _ = stack.histograms_batch(thetas)
+    hb = np.asarray(hb)
+    for c, t in enumerate(np.asarray(thetas)):
+        ref_dyn = _jnp_reference(mc_dyn, jnp.asarray(t), (desc,),
+                                 (0.0,), (10.0,), (100,))
+        np.testing.assert_array_equal(np.asarray(ref_dyn), hb[c, 0])
+        np.testing.assert_array_equal(np.asarray(ref_sta), hb[c, 1])
+
+
 def main():
     import jax
 

@@ -61,10 +61,31 @@ def run_sharded_chain(
 
     # --- shard the MC samples (pad with out-of-domain rows). ---
     # Host copies avoid device->host readbacks (see CLAUDE.md rule 2).
-    samples = stack.samples_host
-    seg = stack.segment_ids_host
+    # Static-segment skip (mirrors PdfStack): only signals some
+    # systematic touches need per-step rebuilds — their samples shard;
+    # static signals contribute a host-precomputed constant table.
+    dyn_idx = stack._dyn_idx
+    ndyn = stack._ndyn
+    if ndyn < stack.nsignals:
+        full_samples = stack.samples_host
+        full_seg = stack.segment_ids_host
+        sel = np.isin(full_seg, np.asarray(dyn_idx, np.int32))
+        remap = np.zeros(stack.nsignals, np.int64)
+        for j, i in enumerate(dyn_idx):
+            remap[i] = j
+        samples = full_samples[sel]
+        seg = remap[full_seg[sel]].astype(np.int32)
+        static_base = np.zeros((stack.nsignals, stack.total_nbins),
+                               np.float32)
+        if stack._static_idx:
+            static_base[np.asarray(stack._static_idx)] = \
+                stack._static_hists_np
+    else:
+        samples = stack.samples_host
+        seg = stack.segment_ids_host
+        static_base = None
     n = samples.shape[0]
-    npad = _pad_to(n, ndev * 8)
+    npad = _pad_to(max(n, 1), ndev * 8)
     pad_rows = np.full((npad - n, samples.shape[1]),
                        stack.lower_host[0] - 1e9, np.float32)
     samples_p = np.concatenate([samples, pad_rows])
@@ -86,6 +107,9 @@ def run_sharded_chain(
     fixed = jnp.asarray(mcmc.parameter_fixed)
     sf = HAARIO / max(mcmc.nfloat, 1)
     syst_float = (mcmc.nsystematics > 0) and not mcmc.systematics_fixed
+    # No dynamic binned segment -> the histogram table is constant even
+    # when systematic parameters float (they only enter constraints).
+    rebuild = syst_float and ndyn > 0
     theta0_np = mcmc.parameter_means[nsources:].astype(np.float32)
 
     nbins = stack.nbins
@@ -94,16 +118,24 @@ def run_sharded_chain(
     bin_volume = stack.bin_volume
     lower = np.asarray(stack.lower_host, np.float32)
     upper = np.asarray(stack.upper_host, np.float32)
-    systematics = stack.systematics
+    systematics = (stack.systematics if static_base is None
+                   else stack._systematics_dyn)
+    nseg_build = max(ndyn, 1)
 
     def local_hists(samples_l, seg_l, theta):
         transformed = _apply_masked_systematics(
-            samples_l, seg_l, theta, systematics, nsignals)
-        hists, _ = hist_ops.segmented_histogram(
+            samples_l, seg_l, theta, systematics, nseg_build)
+        dyn_h, _ = hist_ops.segmented_histogram(
             transformed[:, :len(nbins)], seg_l,
             jnp.ones(samples_l.shape[0], bool),
-            jnp.asarray(lower), jnp.asarray(upper), nbins, nsignals)
-        hists = jax.lax.psum(hists, "event")
+            jnp.asarray(lower), jnp.asarray(upper), nbins, nseg_build)
+        dyn_h = jax.lax.psum(dyn_h, "event")
+        if static_base is None:
+            hists = dyn_h
+        else:
+            hists = jnp.asarray(static_base)
+            if ndyn:
+                hists = hists.at[np.asarray(dyn_idx)].set(dyn_h)
         return hists, hists.sum(axis=1)
 
     def sharded_nll(params, samples_l, seg_l, rb_l, hists0, norms0):
@@ -114,7 +146,7 @@ def run_sharded_chain(
         and lo parts psum independently — the lo parts are ~ulp-sized,
         so their plain-f32 all-reduce is exact to second order.
         """
-        if syst_float:
+        if rebuild:
             hists, norms = local_hists(samples_l, seg_l,
                                        params[nsources:])
         else:
@@ -152,7 +184,7 @@ def run_sharded_chain(
         out_specs=(P(), (P(), P()), P()),
     )
     def run(samples_l, seg_l, rb_l, key):
-        if not syst_float:
+        if not rebuild:
             hists0, norms0 = local_hists(
                 samples_l, seg_l, jnp.asarray(theta0_np))
         else:

@@ -39,6 +39,48 @@ class MaskedSystematic:
     signal_mask: Tuple[bool, ...]
 
 
+def _host_histogram(samples, lower, upper, nbins, pallas_scale,
+                    weights=None):
+    """Host (numpy) histogram bit-matching the device bin-id math.
+
+    Used to precompute the theta-invariant histograms of *static*
+    signals (signals no systematic applies to) once at stack build.
+    ``pallas_scale`` selects which f32 scale convention to replicate:
+    the Pallas kernel bakes ``nbins/span`` as one f64-then-f32 constant
+    (ops/pallas_hist.py), while the jnp path divides two f32 values
+    (ops/histogram.py compute_bin_ids) — 1-ulp different in general.
+    Unweighted counts are integers (exact either way); weighted sums
+    accumulate here in f64, at least as accurate as the device paths.
+    """
+    samples = np.asarray(samples, np.float32)
+    nobs = len(nbins)
+    strides = hist_ops.bin_strides(nbins)
+    n = samples.shape[0]
+    valid = np.ones(n, bool)
+    ids = np.zeros(n, np.int64)
+    for i in range(nobs):
+        lo = np.float32(lower[i])
+        up = np.float32(upper[i])
+        col = samples[:, i]
+        valid &= (col >= lo) & (col < up)
+        if pallas_scale:
+            scale = np.float32(float(nbins[i]) /
+                               (float(upper[i]) - float(lower[i])))
+        else:
+            scale = np.float32(np.float32(nbins[i]) / (up - lo))
+        axis = np.floor((col - lo) * scale).astype(np.int32)
+        np.clip(axis, 0, nbins[i] - 1, out=axis)
+        ids += axis.astype(np.int64) * strides[i]
+    total = hist_ops.total_bins(nbins)
+    if weights is None:
+        h = np.bincount(ids[valid], minlength=total)
+    else:
+        h = np.bincount(ids[valid],
+                        weights=np.asarray(weights, np.float64)[valid],
+                        minlength=total)
+    return h.astype(np.float32)
+
+
 class PdfStack:
     """Batched evaluator for all PDFs in a fit."""
 
@@ -84,25 +126,24 @@ class PdfStack:
             s.histogram.samples_host if i not in kde_idx else
             np.empty((0, s.histogram.samples_host.shape[1]), np.float32)
             for i, s in enumerate(signals)]
-        if sum(a.shape[0] for a in sample_arrays) == 0:
-            # All-KDE fit: one out-of-domain dummy row keeps the fused
-            # build's shapes legal; it contributes nothing.
-            sample_arrays[0] = np.full(
-                (1, signals[0].histogram.samples_host.shape[1]),
-                lower[0] - 1e9, np.float32)
-        self.samples_host = np.concatenate(sample_arrays, axis=0)
-        self.samples = jnp.asarray(self.samples_host)
+        self.nfields = max(a.shape[1] for a in sample_arrays)
+        # Full concatenation (all binned signals) — kept for the
+        # event-sharded chain path (parallel/chain_sharded.py) and the
+        # static-histogram precompute below.
+        self.samples_host = (
+            np.concatenate(sample_arrays, axis=0)
+            if sum(a.shape[0] for a in sample_arrays) else
+            np.empty((0, self.nfields), np.float32))
         seg = np.concatenate([
             np.full(a.shape[0], i, np.int32)
-            for i, a in enumerate(sample_arrays)])
+            for i, a in enumerate(sample_arrays)]) if len(sample_arrays) \
+            else np.empty((0,), np.int32)
         self.segment_ids_host = seg
-        self.segment_ids = jnp.asarray(seg)
         self.n_mc = jnp.asarray([s.n_mc for s in signals], jnp.float32)
         self.datasets = [s.dataset for s in signals]
 
         # Weighted MC samples (an extension over the reference, whose
-        # weights were planned-but-withdrawn): any weighted signal
-        # forces the jnp histogram path.
+        # weights were planned-but-withdrawn).
         self.has_weights = any(s.histogram.weights is not None
                                for s in signals)
         if self.has_weights:
@@ -112,10 +153,8 @@ class PdfStack:
                 else np.ones(a.shape[0], np.float32)
                 for s, a in zip(signals, sample_arrays)])
             self.sample_weights_host = np.asarray(w, np.float32)
-            self.sample_weights = jnp.asarray(w, jnp.float32)
         else:
             self.sample_weights_host = None
-            self.sample_weights = None
 
         # Global systematics with per-signal application masks: signal j
         # applies systematic s iff s was attached to its PDF
@@ -133,6 +172,84 @@ class PdfStack:
         self.nsyst_params = sum(s.npars for s in systematics)
 
         self.use_pallas = jax.default_backend() == "tpu"
+
+        # --- static/dynamic partition -----------------------------------
+        # A binned signal no systematic applies to has a theta-INVARIANT
+        # histogram: build it once on the host and skip it in every
+        # per-step kernel launch.  (The reference rebuilds every PDF per
+        # step, mcmc.cpp:207-209 — this is free speedup the TPU design
+        # makes natural: the per-step build is one batched kernel over
+        # only the dynamic segments.)
+        touched = np.zeros(self.nsignals, bool)
+        for ms in self.systematics:
+            touched |= np.asarray(ms.signal_mask, bool)
+        self._dyn_idx = tuple(
+            i for i in range(self.nsignals)
+            if i not in kde_idx and touched[i])
+        self._static_idx = tuple(
+            i for i in range(self.nsignals)
+            if i not in kde_idx and not touched[i])
+        self._ndyn = len(self._dyn_idx)
+
+        if self._static_idx:
+            stat_h = []
+            stat_n = []
+            for i in self._static_idx:
+                w_i = (np.asarray(signals[i].histogram.weights,
+                                  np.float32)
+                       if signals[i].histogram.weights is not None
+                       else None)
+                h = _host_histogram(
+                    sample_arrays[i][:, :nobs], lower, upper,
+                    self.nbins, pallas_scale=self.use_pallas,
+                    weights=w_i)
+                stat_h.append(h)
+                stat_n.append(h.sum(dtype=np.float64))
+            self._static_hists_np = np.stack(stat_h).astype(np.float32)
+            self._static_norms_np = np.asarray(stat_n, np.float32)
+        else:
+            self._static_hists_np = None
+            self._static_norms_np = None
+
+        # Dynamic-only arrays feed the per-step kernels.
+        dyn_arrays = [sample_arrays[i] for i in self._dyn_idx]
+        if self._ndyn == 0:
+            # No dynamic signal: one out-of-domain dummy row keeps the
+            # packed shapes legal; the kernel is never launched.
+            dyn_arrays = [np.full((1, self.nfields), lower[0] - 1e9,
+                                  np.float32)]
+        dyn_samples = np.concatenate(dyn_arrays, axis=0)
+        dyn_seg = np.concatenate([
+            np.full(a.shape[0], j, np.int32)
+            for j, a in enumerate(dyn_arrays)])
+        self._dyn_has_weights = self.has_weights and any(
+            signals[i].histogram.weights is not None
+            for i in self._dyn_idx)
+        if self._dyn_has_weights:
+            dyn_weights = np.concatenate([
+                np.asarray(signals[i].histogram.weights, np.float32)
+                if signals[i].histogram.weights is not None
+                else np.ones(sample_arrays[i].shape[0], np.float32)
+                for i in self._dyn_idx])
+        else:
+            dyn_weights = None
+
+        # Per-signal masks restricted to the dynamic segments (static
+        # entries are all-False by construction).  Systematics touching
+        # no dynamic segment (KDE-only) drop out of the kernels.
+        dyn_systs = []
+        for ms in self.systematics:
+            m = tuple(ms.signal_mask[i] for i in self._dyn_idx)
+            if any(m):
+                dyn_systs.append(MaskedSystematic(ms.desc, m))
+        self._systematics_dyn = tuple(dyn_systs)
+
+        self.samples = jnp.asarray(dyn_samples)
+        self.segment_ids = jnp.asarray(dyn_seg)
+        self.sample_weights = (jnp.asarray(dyn_weights)
+                               if dyn_weights is not None else None)
+
+        nseg_build = max(self._ndyn, 1)
         self._packed = None
         self._per_segment = False
         if self.use_pallas:
@@ -143,10 +260,12 @@ class PdfStack:
             # exactly one signal, keeping the one-hot split at
             # O(sqrt(total_nbins)) instead of O(nsignals * nbins / 128)
             # (the 5x pdfz_group gap of round 1).  Gated on the
-            # (nsignals, b1, b2) accumulator fitting VMEM comfortably.
+            # (ndyn, b1, b2) accumulator fitting VMEM comfortably.
             b1, b2, _ = pallas_hist._balanced_split(self.total_nbins)
-            acc_bytes = self.nsignals * b1 * max(b2, 128) * 4
-            self._per_segment = (self.nsignals > 1 and
+            acc_bytes = nseg_build * b1 * max(b2, 128) * 4
+            # Per-segment even for a single dynamic signal: the batched
+            # multi-chain build (histograms_batch) rides this kernel.
+            self._per_segment = (self._ndyn >= 1 and
                                  acc_bytes <= (4 << 20))
             if self._per_segment:
                 from sxmc_tpu.ops import autotune
@@ -156,19 +275,19 @@ class PdfStack:
                 # reference's tune-at-first-eval feedback, pdfz.cpp:
                 # 622-814, amortized through a persisted cache).
                 heuristic = pallas_hist.pick_segment_chunk(
-                    np.bincount(seg, minlength=self.nsignals))
+                    np.bincount(dyn_seg, minlength=nseg_build))
                 self._seg_chunk = autotune.tuned_chunk(
-                    "segmented", self.total_nbins, self.nsignals,
-                    int(self.samples_host.shape[0]), heuristic)
+                    "segmented", self.total_nbins, nseg_build,
+                    int(dyn_samples.shape[0]), heuristic)
                 packed, chunk_seg = pallas_hist.pack_samples_per_segment(
-                    np.concatenate(sample_arrays, axis=0), lower, seg,
-                    self.nsignals, chunk=self._seg_chunk,
-                    weights=self.sample_weights_host)
+                    dyn_samples, lower, dyn_seg,
+                    nseg_build, chunk=self._seg_chunk,
+                    weights=dyn_weights)
                 self._packed = jnp.asarray(packed)
                 self._chunk_seg = chunk_seg  # host numpy (embeds in jit)
                 rows = []
                 systs = []
-                for ms in self.systematics:
+                for ms in self._systematics_dyn:
                     if all(ms.signal_mask):
                         systs.append((ms.desc, None))
                     else:
@@ -177,17 +296,17 @@ class PdfStack:
                 self._pallas_systs = tuple(systs)
                 self._mask_matrix = (
                     np.asarray(rows, np.int32) if rows
-                    else np.ones((1, self.nsignals), np.int32))
+                    else np.ones((1, nseg_build), np.int32))
             else:
                 self._packed = jnp.asarray(pallas_hist.pack_samples(
-                    np.concatenate(sample_arrays, axis=0),
-                    lower, segment_ids=seg,
-                    weights=self.sample_weights_host))
+                    dyn_samples, lower,
+                    segment_ids=dyn_seg if nseg_build > 1 else None,
+                    weights=dyn_weights))
                 self._pallas_systs = tuple(
                     (ms.desc,
                      None if all(ms.signal_mask) else
                      tuple(int(b) for b in ms.signal_mask))
-                    for ms in self.systematics)
+                    for ms in self._systematics_dyn)
 
         self._read_bins = None  # (nsignals, nevents) after set_data
 
@@ -227,18 +346,9 @@ class PdfStack:
                     self.sample_weights) + kde_arrays
         return (self.samples, self.segment_ids) + kde_arrays
 
-    def histograms(self, theta_syst: jnp.ndarray, device_data=None
-                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """(nsignals, total_nbins) counts + (nsignals,) norms at theta."""
-        theta_syst = jnp.asarray(theta_syst, jnp.float32)
-        if device_data is None:
-            device_data = self.device_data
-        # KDE sample arrays ride at the tail of device_data (explicit
-        # jit arguments, never closure constants).
-        nkde = len(self._kde)
-        kde_arrays = device_data[len(device_data) - nkde:] if nkde else ()
-        device_data = device_data[:len(device_data) - nkde] if nkde \
-            else device_data
+    def _dynamic_histograms(self, theta_syst, device_data):
+        """(ndyn, total_nbins) counts for the dynamic segments only."""
+        nseg = max(self._ndyn, 1)
         if self.use_pallas:
             from sxmc_tpu.ops import pallas_hist
 
@@ -247,30 +357,45 @@ class PdfStack:
                 flat = pallas_hist.pallas_histogram_segmented(
                     packed, self._chunk_seg, self._mask_matrix,
                     theta_syst,
-                    nfields=self.samples.shape[1],
+                    nfields=self.nfields,
                     nobs=self.nobservables,
                     systematics=self._pallas_systs,
                     lower=self.lower_host, upper=self.upper_host,
-                    nbins=self.nbins, nsegments=self.nsignals,
+                    nbins=self.nbins, nsegments=nseg,
                     chunk=self._seg_chunk)
             else:
                 flat = pallas_hist.pallas_histogram(
                     packed, theta_syst,
-                    nfields=self.samples.shape[1],
+                    nfields=self.nfields,
                     nobs=self.nobservables,
                     systematics=self._pallas_systs,
                     lower=self.lower_host, upper=self.upper_host,
-                    nbins=self.nbins, nsegments=self.nsignals,
-                    has_weights=self.has_weights)
-            hists = flat.reshape(self.nsignals, self.total_nbins)
-            norms = hists.sum(axis=1)
+                    nbins=self.nbins, nsegments=nseg,
+                    has_weights=self._dyn_has_weights)
+            return flat.reshape(nseg, self.total_nbins)
+        samples, segment_ids = device_data[0], device_data[1]
+        weights = device_data[2] if len(device_data) > 2 else None
+        hists, _ = _stack_histograms(
+            samples, segment_ids, theta_syst,
+            self.lower, self.upper, self.nbins, nseg,
+            self._systematics_dyn, weights)
+        return hists
+
+    def _assemble(self, dyn_hists, theta_syst, kde_arrays):
+        """Scatter dynamic + cached static (+ KDE) rows into the full
+        (nsignals, total_nbins) table."""
+        if (self._ndyn == self.nsignals and not self._kde):
+            hists = dyn_hists
         else:
-            samples, segment_ids = device_data[0], device_data[1]
-            weights = device_data[2] if len(device_data) > 2 else None
-            hists, norms = _stack_histograms(
-                samples, segment_ids, theta_syst,
-                self.lower, self.upper, self.nbins, self.nsignals,
-                self.systematics, weights)
+            hists = jnp.zeros((self.nsignals, self.total_nbins),
+                              jnp.float32)
+            if self._ndyn:
+                hists = hists.at[np.asarray(self._dyn_idx)].set(
+                    dyn_hists[:self._ndyn])
+            if self._static_idx:
+                hists = hists.at[np.asarray(self._static_idx)].set(
+                    self._static_hists_np)
+        norms = hists.sum(axis=1)
         # KDE-backed rows: grid-evaluated pseudo-counts replace the
         # (empty) binned rows, same counts/norm contract.
         for (i, kde), arr in zip(self._kde, kde_arrays):
@@ -278,6 +403,28 @@ class PdfStack:
             hists = hists.at[i].set(cnt)
             norms = norms.at[i].set(nrm)
         return hists, norms
+
+    def _split_device_data(self, device_data):
+        nkde = len(self._kde)
+        kde_arrays = device_data[len(device_data) - nkde:] if nkde else ()
+        binned = device_data[:len(device_data) - nkde] if nkde \
+            else device_data
+        return binned, kde_arrays
+
+    def histograms(self, theta_syst: jnp.ndarray, device_data=None
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(nsignals, total_nbins) counts + (nsignals,) norms at theta."""
+        theta_syst = jnp.asarray(theta_syst, jnp.float32)
+        if device_data is None:
+            device_data = self.device_data
+        # KDE sample arrays ride at the tail of device_data (explicit
+        # jit arguments, never closure constants).
+        binned_data, kde_arrays = self._split_device_data(device_data)
+        if self._ndyn:
+            dyn_hists = self._dynamic_histograms(theta_syst, binned_data)
+        else:
+            dyn_hists = None
+        return self._assemble(dyn_hists, theta_syst, kde_arrays)
 
     def compute_read_bins(self, data: np.ndarray) -> jnp.ndarray:
         """Per-signal read bins for a dataset, as an explicit array.
@@ -348,11 +495,12 @@ class PdfStack:
         thetas = jnp.asarray(thetas, jnp.float32)
         if device_data is None:
             device_data = self.device_data
-        if self.use_pallas and self._per_segment and not self.has_kde:
+        nchains = thetas.shape[0]
+        if (self.use_pallas and self._per_segment and not self.has_kde):
             from sxmc_tpu.ops import pallas_hist
 
             b1, b2, _ = pallas_hist._balanced_split(self.total_nbins)
-            acc = thetas.shape[0] * self.nsignals * b1 * max(b2, 128) * 4
+            acc = nchains * self._ndyn * b1 * max(b2, 128) * 4
             if acc > (4 << 20):
                 # Batched accumulator would not fit VMEM (huge toy
                 # batches): fall back to vmapped single builds.
@@ -361,14 +509,31 @@ class PdfStack:
             packed = device_data[0]
             flat = pallas_hist.pallas_histogram_segmented(
                 packed, self._chunk_seg, self._mask_matrix, thetas,
-                nfields=self.samples.shape[1], nobs=self.nobservables,
+                nfields=self.nfields, nobs=self.nobservables,
                 systematics=self._pallas_systs,
                 lower=self.lower_host, upper=self.upper_host,
-                nbins=self.nbins, nsegments=self.nsignals,
+                nbins=self.nbins, nsegments=self._ndyn,
                 chunk=self._seg_chunk)
-            hists = flat.reshape(thetas.shape[0], self.nsignals,
-                                 self.total_nbins)
+            dyn = flat.reshape(nchains, self._ndyn, self.total_nbins)
+            if self._ndyn == self.nsignals:
+                hists = dyn
+            else:
+                hists = jnp.zeros(
+                    (nchains, self.nsignals, self.total_nbins),
+                    jnp.float32)
+                hists = hists.at[:, np.asarray(self._dyn_idx)].set(dyn)
+                if self._static_idx:
+                    hists = hists.at[:, np.asarray(self._static_idx)
+                                     ].set(self._static_hists_np[None])
             return hists, hists.sum(axis=2)
+        if (self.use_pallas and not self.has_kde and self._ndyn == 0):
+            # Fully static mix: one (shared) table broadcast per chain.
+            hists1, norms1 = self.histograms(thetas[0], device_data)
+            hists = jnp.broadcast_to(
+                hists1[None], (nchains,) + hists1.shape)
+            norms = jnp.broadcast_to(norms1[None], (nchains,)
+                                     + norms1.shape)
+            return hists, norms
         return jax.vmap(lambda t: self.histograms(t, device_data))(thetas)
 
     def evaluate_batch(self, thetas: jnp.ndarray, read_bins=None,
