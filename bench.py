@@ -78,6 +78,11 @@ def main() -> None:
 
         packed = jnp.asarray(pallas_hist.pack_samples(samples, [0.0]))
         dd = (packed,)
+        # Pack the eval points once, like the reference's one-time
+        # SetEvalPoints precompute (pdfz.cpp:245-302): the per-eval
+        # work is histogram + LUT only.
+        read_bins = jnp.asarray(pallas_hist.pack_read_bins(
+            np.asarray(read_bins), chunk=16384))
 
         def _eval(theta, read_bins, device_data):
             (packed,) = device_data
@@ -86,13 +91,9 @@ def main() -> None:
                 systematics=((syst, None),),
                 lower=(0.0,), upper=(1.0,), nbins=(NBINS,))
             norm = bins.sum()
-            nev = read_bins.shape[0]
-            npad = -(-nev // 16384) * 16384
-            rb = jnp.pad(read_bins, (0, npad - nev), constant_values=-2
-                         ).reshape(1, npad // 128, 128)
             vals = pallas_hist.pallas_eval_lut(
-                bins, norm[None], rb, total_nbins=NBINS, nsegments=1,
-                bin_volume=ev.bin_volume)[0]
+                bins, norm[None], read_bins, total_nbins=NBINS,
+                nsegments=1, bin_volume=ev.bin_volume)[0]
             return vals, norm
     else:
         from sxmc_tpu.ops import histogram as hist_ops

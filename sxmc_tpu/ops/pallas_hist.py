@@ -93,11 +93,18 @@ def _apply_systematics_rows(cols, theta_ref, systematics):
 
 def _balanced_split(all_bins: int):
     """Pick (b1, b2): b2 a power of two near sqrt(all_bins) in [8, 128],
-    b1 = ceil(all_bins / b2).  One-hot cost is (b1 + b2) per sample."""
+    b1 ~ ceil(all_bins / b2) + 1.  One-hot cost is (b1 + b2) per sample.
+
+    b1 is padded so b1 * b2 > all_bins always holds: the last cell is a
+    guaranteed-spare "trash bin" that invalid (out-of-domain / padding)
+    samples are routed to, which lets the kernels drop the per-sample
+    ``& valid_row`` mask on the hi one-hot (b1 x chunk VPU ops saved per
+    chunk) — the spare cell is sliced off with the rest of the padding.
+    """
     b2 = 8
     while b2 < 128 and b2 * b2 < all_bins:
         b2 *= 2
-    b1 = max(-(-all_bins // b2), 1)
+    b1 = max(all_bins // b2 + 1, 1)
     shift = b2.bit_length() - 1
     return b1, b2, shift
 
@@ -151,14 +158,15 @@ def _make_kernel(nfields, nobs, systematics, lower, upper, nbins,
         if has_segments:
             ids += seg * total_nbins
 
-        # Fold validity into the id (-1 sentinel): Mosaic can reshape
-        # i32 vectors but not i1, so only one row relayout is needed.
-        ids = jnp.where(valid, ids, -1)
+        # Fold validity into the id: invalid samples route to the
+        # guaranteed-spare trash cell b1*b2-1 (see _balanced_split), so
+        # no per-sample mask is needed on either one-hot.  Mosaic can
+        # reshape i32 vectors but not i1, so only one row relayout is
+        # needed.
+        ids = jnp.where(valid, ids, b1 * b2 - 1)
 
         # Lane-major row for the one-hot compares.
-        ids_row = ids.reshape(1, chunk)
-        valid_row = ids_row >= 0
-        pos = jnp.maximum(ids_row, 0)
+        pos = ids.reshape(1, chunk)
 
         # Balanced two-level split: one-hot construction costs
         # (b1 + b2) VPU ops per sample, so b1 ~ b2 ~ sqrt(nbins) halves
@@ -173,7 +181,7 @@ def _make_kernel(nfields, nobs, systematics, lower, upper, nbins,
         # (f32 so weights keep full precision; f32 accumulate).
         if has_weights:
             onehot_lo = (lo == lo_iota).astype(jnp.float32)
-            onehot_hi = ((hi == hi_iota) & valid_row).astype(
+            onehot_hi = (hi == hi_iota).astype(
                 jnp.float32) * wrow.reshape(1, chunk)
             part = jax.lax.dot_general(
                 onehot_hi, onehot_lo, (((1,), (1,)), ((), ())),
@@ -181,14 +189,14 @@ def _make_kernel(nfields, nobs, systematics, lower, upper, nbins,
             out_ref[:] += part
         elif b1 + b2 <= 160:
             onehot_lo = (lo == lo_iota).astype(jnp.bfloat16)
-            onehot_hi = ((hi == hi_iota) & valid_row).astype(jnp.bfloat16)
+            onehot_hi = (hi == hi_iota).astype(jnp.bfloat16)
             part = jax.lax.dot_general(
                 onehot_hi, onehot_lo, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             out_ref[:] += part.astype(jnp.int32)
         else:
             onehot_lo = (lo == lo_iota).astype(jnp.int8)
-            onehot_hi = ((hi == hi_iota) & valid_row).astype(jnp.int8)
+            onehot_hi = (hi == hi_iota).astype(jnp.int8)
             part = jax.lax.dot_general(
                 onehot_hi, onehot_lo, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)
@@ -360,11 +368,11 @@ def _make_per_segment_kernel(nfields, nobs, systematics, lower, upper,
                     (x - lower[i]) * scales[i]).astype(jnp.int32)
                 axis = jnp.clip(axis, 0, nbins[i] - 1)
                 ids += axis * strides[i]
-            ids = jnp.where(valid, ids, -1)
+            # Invalid samples -> guaranteed-spare trash cell (see
+            # _balanced_split); no mask needed on the one-hots.
+            ids = jnp.where(valid, ids, b1 * b2 - 1)
 
-            ids_row = ids.reshape(1, chunk)
-            valid_row = ids_row >= 0
-            pos = jnp.maximum(ids_row, 0)
+            pos = ids.reshape(1, chunk)
             lo = pos & (b2 - 1)
             hi = pos >> b2_shift
             lo_iota = jax.lax.broadcasted_iota(jnp.int32, (b2, chunk), 0)
@@ -373,12 +381,10 @@ def _make_per_segment_kernel(nfields, nobs, systematics, lower, upper,
                 # f32 one-hots so the per-sample weight keeps full
                 # precision through the MXU accumulate.
                 onehot_lo = (lo == lo_iota).astype(jnp.float32)
-                onehot_hi = ((hi == hi_iota) & valid_row).astype(
-                    jnp.float32) * wrow
+                onehot_hi = (hi == hi_iota).astype(jnp.float32) * wrow
             else:
                 onehot_lo = (lo == lo_iota).astype(jnp.bfloat16)
-                onehot_hi = ((hi == hi_iota) & valid_row).astype(
-                    jnp.bfloat16)
+                onehot_hi = (hi == hi_iota).astype(jnp.bfloat16)
             part = jax.lax.dot_general(
                 onehot_hi, onehot_lo, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
