@@ -129,6 +129,85 @@ def run_checkpointed(
         state["kept"], state["kept_nll"], mcmc.parameter_names)
 
 
+def run_checkpointed_stretch(
+    sampler,
+    data: np.ndarray,
+    nsteps: int,
+    burnin_fraction: float = 0.1,
+    segment_steps: int = 2000,
+    checkpoint_path: str = "stretch.ckpt.npz",
+    debug_mode: bool = False,
+    seed: int = 0,
+    verbose: bool = False,
+) -> LikelihoodSpace:
+    """Stretch (affine-invariant ensemble) sampler with mid-chain
+    checkpoints.  Semantics match StretchSampler.__call__ with
+    nchains=1: the first ``nsteps * burnin_fraction`` steps are
+    discarded, the rest pool all walkers.
+    """
+    from sxmc_tpu.mcmc import stretch as stretch_mod
+
+    sampler.stack.set_data(np.asarray(data, np.float32))
+    rb = sampler.stack._read_bins
+    dd = sampler.stack.device_data
+    burnin = int(nsteps * burnin_fraction)
+    npar = sampler.nparameters
+
+    state = load_chain_state(checkpoint_path)
+    if state is None:
+        key = jax.random.PRNGKey(seed)
+        k_init, key = jax.random.split(key)
+        walkers, wnll = stretch_mod.initial_walkers(
+            sampler, k_init, rb, dd)
+        state = {
+            "walkers": np.asarray(walkers),
+            "wnll_hi": np.asarray(wnll[0]),
+            "wnll_lo": np.asarray(wnll[1]),
+            "key": np.asarray(key), "step": np.int64(0),
+            "kept": np.zeros((0, npar), np.float32),
+            "kept_nll": np.zeros((0,), np.float64),
+        }
+    total = int(state["step"])
+
+    while total < nsteps:
+        n = min(segment_steps, nsteps - total)
+        key = jnp.asarray(state["key"], jnp.uint32)
+        key, seg_key = jax.random.split(key)
+        carry, (hist, hist_nll, acc) = stretch_mod.stretch_segment(
+            sampler, jnp.asarray(state["walkers"]),
+            (jnp.asarray(state["wnll_hi"]),
+             jnp.asarray(state["wnll_lo"])),
+            rb, dd, seg_key, n, debug_mode)
+        walkers, wnll = carry
+
+        # Keep only post-burn-in steps of this segment, pooled over
+        # walkers.
+        first_kept = max(burnin - total, 0)
+        if first_kept < n:
+            kept = np.asarray(hist[first_kept:]).reshape(-1, npar)
+            kn = metropolis.nll_history_to_f64(
+                (hist_nll[0][first_kept:], hist_nll[1][first_kept:])
+            ).reshape(-1)
+            state["kept"] = np.concatenate([state["kept"], kept])
+            state["kept_nll"] = np.concatenate([state["kept_nll"], kn])
+
+        total += n
+        state.update({
+            "walkers": np.asarray(walkers),
+            "wnll_hi": np.asarray(wnll[0]),
+            "wnll_lo": np.asarray(wnll[1]),
+            "key": np.asarray(key), "step": np.int64(total),
+        })
+        save_chain_state(checkpoint_path, state)
+        if verbose:
+            print(f"checkpoint(stretch): step {total}/{nsteps} "
+                  f"(accept {float(acc):.2f}) -> {checkpoint_path}")
+
+    sampler.last_accept_rate = float("nan")
+    return LikelihoodSpace.from_arrays(
+        state["kept"], state["kept_nll"], sampler.parameter_names)
+
+
 def run_checkpointed_hmc(
     hmc,
     data: np.ndarray,

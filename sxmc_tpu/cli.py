@@ -57,6 +57,12 @@ def main(argv=None) -> int:
                              "with the full chain state checkpointed "
                              "after each; a killed fit resumes "
                              "mid-chain with --resume")
+    parser.add_argument("--max-retries", type=int, default=1,
+                        metavar="N",
+                        help="retry a failed experiment up to N times "
+                             "under a fresh RNG key before recording it "
+                             "as failed and continuing the ensemble "
+                             "(default 1)")
     parser.add_argument("--hypotest-band", action="store_true",
                         help="with --hypotest, also compute the median "
                              "and +-1 sigma expected CLs limits (the "
@@ -129,7 +135,8 @@ def main(argv=None) -> int:
                  data_root=args.data_root, sampler=args.sampler,
                  hypotest_toys=args.hypotest,
                  hypotest_band=args.hypotest_band,
-                 checkpoint_steps=args.checkpoint_steps)
+                 checkpoint_steps=args.checkpoint_steps,
+                 max_retries=args.max_retries)
     return 0
 
 

@@ -13,6 +13,7 @@ experiments can be fanned out over hosts (see sxmc_tpu.parallel).
 from __future__ import annotations
 
 import os
+import traceback
 from typing import List, Optional
 
 import jax
@@ -34,6 +35,7 @@ def run_ensemble(
     hypotest_toys: int = 0,
     hypotest_band: bool = False,
     checkpoint_steps: int = 0,
+    max_retries: int = 1,
 ) -> List[float]:
     """Run the full ensemble; returns the per-experiment upper limits.
 
@@ -52,6 +54,14 @@ def run_ensemble(
     Structured JSONL metrics (step timing, acceptance, ESS, best fit)
     go to ``<output_path>/<prefix>_metrics.jsonl`` — the analog of the
     reference's per-batch acceptance prints (mcmc.cpp:356-358).
+
+    Failure detection/recovery (SURVEY.md section 5; the reference
+    aborts the whole ensemble on any error): each experiment runs
+    behind a fault barrier — a failure is logged to the metrics stream
+    (with traceback), retried up to ``max_retries`` times under a fresh
+    key (so a pathologically-drawn toy is redrawn), and a permanently
+    failing experiment is recorded and SKIPPED so the remaining
+    ensemble still completes and reports its median limit.
     """
     from sxmc_tpu.observability import MetricsLogger, Stopwatch
 
@@ -123,13 +133,13 @@ def run_ensemble(
 
     key = jax.random.PRNGKey(fc.seed)
     limits: List[float] = []
+    failures: List[dict] = []
 
-    for i in range(fc.nexperiments):
-        log(f"Experiment {i + 1} / {fc.nexperiments}")
+    def _run_experiment(i: int, exp_key) -> None:
+        """One experiment: data -> fit -> diagnostics -> limit."""
         lspace_file = os.path.join(
             output_path, f"{fc.output_prefix}_{i}.{fc.output_format}")
 
-        exp_key = jax.random.fold_in(key, i)
 
         if resume and os.path.exists(lspace_file):
             log(f"ensemble: Resuming from {lspace_file}")
@@ -170,21 +180,31 @@ def run_ensemble(
                     mcmc, fc, samples_data, output_path, i, log)
                 if limit is not None:
                     limits.append(limit)
-                continue
+                return
 
             sw = Stopwatch()
-            if checkpoint_steps > 0 and sampler in ("metropolis", "hmc"):
+            if checkpoint_steps > 0 and sampler in (
+                    "metropolis", "hmc", "nuts", "stretch"):
                 from sxmc_tpu import checkpoint as ckpt_mod
 
                 ckpt = os.path.join(
                     output_path, f"{fc.output_prefix}_chain_{i}.ckpt.npz")
-                if sampler == "hmc":
+                if sampler in ("hmc", "nuts"):
+                    # run_checkpointed_hmc dispatches on the sampler
+                    # type (HMC vs NUTS) internally.
                     ls = ckpt_mod.run_checkpointed_hmc(
                         mcmc, samples_data, fc.nsteps,
                         fc.burnin_fraction,
                         segment_steps=checkpoint_steps,
                         checkpoint_path=ckpt, seed=fc.seed + i,
                         verbose=verbose)
+                elif sampler == "stretch":
+                    ls = ckpt_mod.run_checkpointed_stretch(
+                        mcmc, samples_data, fc.nsteps,
+                        fc.burnin_fraction,
+                        segment_steps=checkpoint_steps,
+                        checkpoint_path=ckpt, debug_mode=fc.debug_mode,
+                        seed=fc.seed + i, verbose=verbose)
                 else:
                     ls = ckpt_mod.run_checkpointed(
                         mcmc, samples_data, fc.nsteps,
@@ -253,8 +273,42 @@ def run_ensemble(
                         signal=fc.signal_name, upper=bfi.upper,
                         lower=bfi.lower, one_sided=bool(bfi.one_sided))
 
+    for i in range(fc.nexperiments):
+        log(f"Experiment {i + 1} / {fc.nexperiments}")
+        for attempt in range(max(max_retries, 0) + 1):
+            # Attempt 0 uses the canonical per-experiment key;
+            # retries rekey so a pathologically-drawn toy dataset
+            # (or a transient backend failure) gets a fresh draw.
+            exp_key = jax.random.fold_in(key, i) if attempt == 0 \
+                else jax.random.fold_in(
+                    jax.random.fold_in(key, 1_000_003 + attempt), i)
+            try:
+                _run_experiment(i, exp_key)
+                break
+            except KeyboardInterrupt:
+                raise
+            except Exception as e:  # noqa: BLE001 — fault barrier
+                tb = traceback.format_exc(limit=8)
+                metrics.log(
+                    "experiment_failed", experiment=i,
+                    attempt=attempt,
+                    error=f"{type(e).__name__}: {e}", traceback=tb)
+                if attempt >= max(max_retries, 0):
+                    log(f"ensemble: experiment {i} FAILED after "
+                        f"{attempt + 1} attempt(s): {e}")
+                    failures.append(
+                        {"experiment": i,
+                         "error": f"{type(e).__name__}: {e}"})
+                else:
+                    log(f"ensemble: experiment {i} attempt "
+                        f"{attempt} failed ({e}); retrying")
+
+    if failures:
+        log(f"ensemble: {len(failures)} experiment(s) failed "
+            f"permanently: {[f['experiment'] for f in failures]}")
     metrics.log("ensemble_done", nlimits=len(limits),
-                median_limit=float(median(limits)) if limits else -1.0)
+                median_limit=float(median(limits)) if limits else -1.0,
+                nfailed=len(failures), failures=failures)
     return limits
 
 
@@ -368,7 +422,8 @@ def main_fit(config_file: str, output_path: str, resume: bool = False,
              sampler: str = "metropolis",
              hypotest_toys: int = 0,
              hypotest_band: bool = False,
-             checkpoint_steps: int = 0) -> List[float]:
+             checkpoint_steps: int = 0,
+             max_retries: int = 1) -> List[float]:
     """Full driver (reference: sxmc.cpp:181-229)."""
     print("sxmc_tpu: Loading configuration...")
     print(f"sxmc_tpu: Configuration: {config_file}")
@@ -379,7 +434,8 @@ def main_fit(config_file: str, output_path: str, resume: bool = False,
     limits = run_ensemble(fc, output_path, resume=resume,
                           sampler=sampler, hypotest_toys=hypotest_toys,
                           hypotest_band=hypotest_band,
-                          checkpoint_steps=checkpoint_steps)
+                          checkpoint_steps=checkpoint_steps,
+                          max_retries=max_retries)
 
     if limits:
         print("sxmc_tpu: Upper limits:", ", ".join(f"{x:g}" for x in limits))

@@ -86,29 +86,44 @@ def _run_stretch_ensembles(s: StretchSampler, ens_keys, read_bins,
         ens_keys, read_bins, device_data)
 
 
-def _run_stretch_single(s: StretchSampler, key, read_bins, device_data, *,
-                        nsteps: int, burnin: int, debug_mode: bool):
-    nll_one = _chain_nll(s, read_bins, device_data)
-    nll_batch = jax.vmap(nll_one)
+@functools.partial(jax.jit, static_argnames=("s",))
+def initial_walkers(s: StretchSampler, key, read_bins, device_data):
+    """Initial walker cloud + compensated NLL pair.
 
+    Means + initial-jump-width ball, rates kept positive (negative
+    rates are the 1e18 barrier region, nll_kernels.cpp:173).
+    """
+    nll_batch = jax.vmap(_chain_nll(s, read_bins, device_data))
     npar = s.nparameters
-    half = s.nwalkers // 2
     free = ~jnp.asarray(s.parameter_fixed)
-    d = jnp.float32(max(s.nfloat, 1))
-    a = s.a
-
-    # Initial cloud: means + initial-jump-width ball, rates kept positive
-    # (negative rates are the 1e18 barrier region, nll_kernels.cpp:173).
-    k_init, k_run = jax.random.split(key)
     means = jnp.asarray(s.parameter_means, jnp.float32)
     w0 = jnp.maximum(jnp.asarray(s.initial_jump_widths()), 0.0)
-    noise = jax.random.normal(k_init, (s.nwalkers, npar)) * w0
+    noise = jax.random.normal(key, (s.nwalkers, npar)) * w0
     walkers = means + jnp.where(free, noise, 0.0)
     is_rate = jnp.arange(npar) < s.nsources
     floor = 1e-4 * jnp.maximum(jnp.abs(means), 1.0)
     walkers = jnp.where(is_rate & free,
                         jnp.maximum(walkers, floor), walkers)
     wnll = nll_batch(walkers)  # compensated (hi, lo) pair of (K,) arrays
+    return walkers, wnll
+
+
+@functools.partial(
+    jax.jit, static_argnames=("s", "nsteps", "debug_mode"))
+def stretch_segment(s: StretchSampler, walkers, wnll, read_bins,
+                    device_data, key, nsteps: int,
+                    debug_mode: bool = False):
+    """Advance one walker ensemble ``nsteps`` steps from explicit carry.
+
+    Returns ``((walkers, wnll), (hist, hist_nll, acc))`` — the building
+    block for mid-chain checkpointing (sxmc_tpu.checkpoint), like
+    metropolis.run_segment / hmc.main_segment.
+    """
+    nll_batch = jax.vmap(_chain_nll(s, read_bins, device_data))
+    half = s.nwalkers // 2
+    free = ~jnp.asarray(s.parameter_fixed)
+    d = jnp.float32(max(s.nfloat, 1))
+    a = s.a
 
     def half_update(active, active_nll, other, step_key):
         """Stretch-move one half against the other (vectorized)."""
@@ -143,11 +158,23 @@ def _run_stretch_single(s: StretchSampler, key, read_bins, device_data, *,
         acc = jnp.concatenate([a0, a1]).astype(jnp.float32).mean()
         return (walkers, wnll), (walkers, wnll, acc)
 
-    keys = jax.random.split(k_run, nsteps)
-    _, (hist, hist_nll, accs) = jax.lax.scan(step, (walkers, wnll), keys)
+    keys = jax.random.split(key, nsteps)
+    carry, (hist, hist_nll, accs) = jax.lax.scan(
+        step, (walkers, wnll), keys)
+    return carry, (hist, hist_nll, accs.mean())
+
+
+def _run_stretch_single(s: StretchSampler, key, read_bins, device_data, *,
+                        nsteps: int, burnin: int, debug_mode: bool):
+    npar = s.nparameters
+    k_init, k_run = jax.random.split(key)
+    walkers, wnll = initial_walkers(s, k_init, read_bins, device_data)
+    _, (hist, hist_nll, acc) = stretch_segment(
+        s, walkers, wnll, read_bins, device_data, k_run, nsteps,
+        debug_mode)
 
     # Discard burn-in, pool walkers: (nsteps, K, npar) -> (kept*K, npar).
     kept = hist[burnin:].reshape(-1, npar)
     kept_nll = (hist_nll[0][burnin:].reshape(-1),
                 hist_nll[1][burnin:].reshape(-1))
-    return kept, kept_nll, accs.mean()
+    return kept, kept_nll, acc

@@ -146,6 +146,36 @@ class TestCheckpoint:
         assert ls.samples.shape[0] == 180
         assert np.isfinite(ls.nll_values).all()
 
+    def test_stretch_checkpoint_resume(self, tmp_path):
+        from sxmc_tpu.mcmc.stretch import StretchSampler
+
+        obs, systs, sources, signals = make_fixture()
+        data = make_fake_dataset(jax.random.PRNGKey(4), signals, systs,
+                                 [obs], poisson=False)
+        s = StretchSampler(sources, signals, systs, [obs], nwalkers=8)
+
+        # Uninterrupted reference run.
+        p1 = str(tmp_path / "w1.npz")
+        ls1 = checkpoint.run_checkpointed_stretch(
+            s, data, nsteps=300, burnin_fraction=0.2,
+            segment_steps=10000, checkpoint_path=p1, seed=9)
+        assert ls1.samples.shape[0] == 240 * s.nwalkers
+
+        # Kill mid-run, resume on the same checkpoint.
+        p2 = str(tmp_path / "w2.npz")
+        checkpoint.run_checkpointed_stretch(
+            s, data, nsteps=120, burnin_fraction=0.5,
+            segment_steps=40, checkpoint_path=p2, seed=9)
+        st = checkpoint.load_chain_state(p2)
+        assert int(st["step"]) == 120
+        ls2 = checkpoint.run_checkpointed_stretch(
+            s, data, nsteps=300, burnin_fraction=0.2,
+            segment_steps=40, checkpoint_path=p2, seed=9)
+        assert np.isfinite(ls2.nll_values).all()
+        m1, m2 = ls1.column("sig").mean(), ls2.column("sig").mean()
+        s1 = max(ls1.column("sig").std(), 1e-3)
+        assert abs(m1 - m2) < 6 * s1
+
     def test_state_roundtrip(self, tmp_path):
         p = str(tmp_path / "s.npz")
         state = {"params": np.arange(3, dtype=np.float32),
