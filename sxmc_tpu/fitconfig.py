@@ -203,7 +203,8 @@ class FitConfig:
                 observables=fc.observables, cuts=fc.cuts,
                 systematics=systs,
                 kde=bool(conf.get("kde", False)),
-                bandwidth_scale=conf.get("bandwidth_scale")))
+                bandwidth_scale=conf.get("bandwidth_scale"),
+                kde_exact=bool(conf.get("kde_exact", False))))
 
         fc.datasets = sorted(datasets)
 

@@ -189,7 +189,8 @@ class MCMC:
         """Standalone NLL evaluation (reference: mcmc.cpp:390-415)."""
         self.stack.set_data(np.asarray(data, np.float32))
         params = jnp.asarray(params, jnp.float32)
-        lut, norms = self.stack.evaluate(params[self.nsources:])
+        lut, norms = self.stack.evaluate(params[self.nsources:],
+                                         use_exact_kde=True)
         return float(nll_fn(params, lut, norms, self.static))
 
     @property
@@ -248,12 +249,13 @@ def _chain_nll(mcmc: MCMC, read_bins, device_data):
     syst_float = (mcmc.nsystematics > 0) and not mcmc.systematics_fixed
     if not syst_float:
         theta0 = jnp.asarray(mcmc.parameter_means[nsources:], jnp.float32)
-        lut0, norms0 = stack.evaluate(theta0, read_bins, device_data)
+        lut0, norms0 = stack.evaluate(theta0, read_bins, device_data,
+                                      use_exact_kde=True)
 
     def chain_nll(params):
         if syst_float:
             lut, norms = stack.evaluate(params[nsources:], read_bins,
-                                        device_data)
+                                        device_data, use_exact_kde=True)
         else:
             lut, norms = lut0, norms0
         return nll_pair_fn(params, lut, norms, st)
@@ -370,7 +372,8 @@ def _chain_nll_batch(mcmc: MCMC, read_bins, device_data, nchains: int):
     syst_float = (mcmc.nsystematics > 0) and not mcmc.systematics_fixed
     if not syst_float:
         theta0 = jnp.asarray(mcmc.parameter_means[nsources:], jnp.float32)
-        lut0, norms0 = stack.evaluate(theta0, read_bins, device_data)
+        lut0, norms0 = stack.evaluate(theta0, read_bins, device_data,
+                                      use_exact_kde=True)
 
         def batch_nll(params):
             return jax.vmap(
@@ -378,7 +381,8 @@ def _chain_nll_batch(mcmc: MCMC, read_bins, device_data, nchains: int):
     else:
         def batch_nll(params):
             luts, norms = stack.evaluate_batch(
-                params[:, nsources:], read_bins, device_data)
+                params[:, nsources:], read_bins, device_data,
+                use_exact_kde=True)
             return jax.vmap(nll_pair_fn, in_axes=(0, 0, 0, None))(
                 params, luts, norms, st)
 

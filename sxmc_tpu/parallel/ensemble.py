@@ -56,6 +56,12 @@ def run_sharded_ensemble(
         mesh = mesh_lib.auto_mesh(fc.nexperiments, fc.nchains)
 
     mcmc = MCMC(fc.sources, fc.signals, fc.systematics, fc.observables)
+    if getattr(mcmc.stack, "_kde_exact", ()):
+        raise NotImplementedError(
+            "Exact-LUT KDE signals evaluate against ONE set_data() "
+            "dataset; the batched multi-experiment path would pair "
+            "every experiment with the wrong event coordinates. Use "
+            "the serial ensemble driver, or kde_exact=false (grid).")
 
     key = jax.random.PRNGKey(fc.seed)
     datasets = [

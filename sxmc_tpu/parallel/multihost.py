@@ -53,6 +53,10 @@ def run_multihost_ensemble(
               f"{jax.process_count()} owns experiments {local}")
 
     mcmc = MCMC(fc.sources, fc.signals, fc.systematics, fc.observables)
+    if getattr(mcmc.stack, "_kde_exact", ()):
+        raise NotImplementedError(
+            "Exact-LUT KDE signals are single-experiment only (see "
+            "parallel/ensemble.py); use kde_exact=false here.")
     key = jax.random.PRNGKey(fc.seed)
 
     lspaces: List[Optional[LikelihoodSpace]] = [None] * nexp

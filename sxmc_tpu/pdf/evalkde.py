@@ -35,7 +35,7 @@ class EvalKDE(EvalHist):
 
     def __init__(self, samples, nfields, nobservables, lower, upper,
                  bandwidth_scale=None, dataset=0, weights=None,
-                 nbins=None):
+                 nbins=None, exact_lut=False):
         # Internal binning used for random_sample()/density export and
         # for the grid representation that lets a KDE signal join a
         # binned fit (see histogram()).
@@ -44,6 +44,11 @@ class EvalKDE(EvalHist):
             raise PdfError("EvalKDE does not support weighted samples.")
         super().__init__(samples, nfields, nobservables, lower, upper,
                          nbins, dataset=dataset, weights=weights)
+        # exact_lut=True: fits evaluate the KDE EXACTLY at the data
+        # event coordinates (no grid discretization) — see
+        # PdfStack.evaluate(use_exact_kde=True).  Toy-ensemble paths
+        # (FC belts / CLs) keep the grid representation.
+        self.exact_lut = bool(exact_lut)
         if bandwidth_scale is None:
             bandwidth_scale = [1.0] * nobservables
         if len(bandwidth_scale) != nobservables:
@@ -105,16 +110,31 @@ class EvalKDE(EvalHist):
         points = np.asarray(points, np.float32)
         if points.ndim == 1:
             points = points.reshape(-1, self.nobservables + 1)
+        return self.eval_at(jnp.asarray(points), params)
+
+    def eval_at(self, points, params=None, samples=None):
+        """Exact KDE density at device-resident ``points`` (traceable).
+
+        ``points`` is ``(npoints, nobs + 1)`` with the dataset tag
+        last; sentinels match EvalHist (out-of-domain -> NaN, dataset
+        mismatch -> 0).  ``samples`` optionally supplies the MC array
+        as an explicit jit argument (PdfStack threads it through
+        device_data).  This is the in-fit exact path used when
+        ``exact_lut`` is set.
+        """
+        if samples is None:
+            samples = self.samples
+        params = (jnp.zeros(0, jnp.float32) if params is None
+                  else jnp.asarray(params, jnp.float32))
         return _kde_eval(
-            self.samples, jnp.asarray(points),
-            jnp.zeros(0, jnp.float32) if params is None
-            else jnp.asarray(params, jnp.float32),
+            samples, points, params,
             self.lower, self.upper, self.bandwidth_scale,
             self.nobservables, self.systematics, self.dataset)
 
     def eval(self, read_bins, params=None):
         raise NotImplementedError(
-            "EvalKDE evaluates points directly; use eval_points().")
+            "EvalKDE evaluates points directly; use eval_points() / "
+            "eval_at().")
 
 
 def _bin_center_points(lower, upper, nbins, dataset) -> np.ndarray:

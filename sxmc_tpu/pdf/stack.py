@@ -119,6 +119,16 @@ class PdfStack:
             if isinstance(s.histogram, EvalKDE))
         kde_idx = {i for i, _ in self._kde}
         self.has_kde = bool(self._kde)
+        # Exact-LUT KDE signals: fits evaluate the KDE exactly at the
+        # data event coordinates (no grid discretization).  The event
+        # points (and precomputed rows for systematics-free KDEs) ride
+        # at the tail of device_data after set_data().
+        self._kde_exact = tuple(
+            (i, kde) for i, kde in self._kde
+            if getattr(kde, "exact_lut", False))
+        self._data_points = None
+        self._kde_exact_static_rows = None
+        self._kde_exact_static_norms = None
 
         # Concatenate all binned signals' MC samples with a segment id,
         # from the host copies (never read device arrays back to host).
@@ -318,9 +328,28 @@ class PdfStack:
         ``data`` is ``(nevents, nobservables + 1)`` with the dataset tag
         last.  Data points never move under systematics, so this runs
         once per dataset (reference: pdfz.cpp:245-302, mcmc.cpp:231-242).
+
+        With exact-LUT KDE signals the event coordinates are also kept
+        on device, and the exact density rows of systematics-free KDE
+        signals (theta-invariant) are computed here ONCE.
         """
-        self._read_bins = self.compute_read_bins(
-            np.asarray(data, np.float32))
+        data = np.asarray(data, np.float32)
+        self._read_bins = self.compute_read_bins(data)
+        if self._kde_exact:
+            self._data_points = jnp.asarray(data)
+            nev = data.shape[0]
+            rows = []
+            nrms = []
+            for i, kde in self._kde_exact:
+                if not kde.systematics:
+                    row, nrm = kde.eval_at(self._data_points)
+                    rows.append(row)
+                    nrms.append(nrm)
+            self._kde_exact_static_rows = (
+                jnp.stack(rows) if rows
+                else jnp.zeros((0, nev), jnp.float32))
+            self._kde_exact_static_norms = (
+                jnp.stack(nrms) if nrms else jnp.zeros((0,), jnp.float32))
 
     @property
     def nevents(self) -> int:
@@ -337,14 +366,23 @@ class PdfStack:
         Capturing these as closure constants inside jit both re-ships
         them per call and degrades dispatch latency on tunneled
         backends — every jitted entry point threads them explicitly.
+
+        After set_data(), exact-LUT KDE fits append three more arrays:
+        the event coordinates and the precomputed (rows, norms) of
+        systematics-free KDE signals.
         """
         kde_arrays = tuple(kde.samples for _, kde in self._kde)
         if self.use_pallas:
-            return (self._packed,) + kde_arrays
-        if self.sample_weights is not None:
-            return (self.samples, self.segment_ids,
-                    self.sample_weights) + kde_arrays
-        return (self.samples, self.segment_ids) + kde_arrays
+            dd = (self._packed,) + kde_arrays
+        elif self.sample_weights is not None:
+            dd = (self.samples, self.segment_ids,
+                  self.sample_weights) + kde_arrays
+        else:
+            dd = (self.samples, self.segment_ids) + kde_arrays
+        if self._kde_exact and self._data_points is not None:
+            dd = dd + (self._data_points, self._kde_exact_static_rows,
+                       self._kde_exact_static_norms)
+        return dd
 
     def _dynamic_histograms(self, theta_syst, device_data):
         """(ndyn, total_nbins) counts for the dynamic segments only."""
@@ -405,11 +443,23 @@ class PdfStack:
         return hists, norms
 
     def _split_device_data(self, device_data):
+        """-> (binned arrays, kde sample arrays, exact-kde extras).
+
+        ``extras`` is None, or ``(points, static_rows, static_norms)``
+        when the snapshot was taken after set_data() on an exact-KDE
+        stack.
+        """
+        nbase = (1 if self.use_pallas else
+                 (3 if self.sample_weights is not None else 2))
+        extras = None
+        if len(device_data) == nbase + len(self._kde) + 3:
+            extras = device_data[-3:]
+            device_data = device_data[:-3]
         nkde = len(self._kde)
         kde_arrays = device_data[len(device_data) - nkde:] if nkde else ()
         binned = device_data[:len(device_data) - nkde] if nkde \
             else device_data
-        return binned, kde_arrays
+        return binned, kde_arrays, extras
 
     def histograms(self, theta_syst: jnp.ndarray, device_data=None
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -419,7 +469,7 @@ class PdfStack:
             device_data = self.device_data
         # KDE sample arrays ride at the tail of device_data (explicit
         # jit arguments, never closure constants).
-        binned_data, kde_arrays = self._split_device_data(device_data)
+        binned_data, kde_arrays, _ = self._split_device_data(device_data)
         if self._ndyn:
             dyn_hists = self._dynamic_histograms(theta_syst, binned_data)
         else:
@@ -447,16 +497,48 @@ class PdfStack:
             rb.append(jnp.where(valid, sig_ids, -1))
         return jnp.stack(rb, axis=-2)  # (..., nsignals, nevents)
 
+    def _exact_kde_override(self, lut, norms, theta_syst, device_data):
+        """Replace exact-LUT KDE rows of (lut, norms) with the KDE
+        density evaluated at the event coordinates (no grid bias).
+
+        Systematics-free KDE rows come precomputed from set_data();
+        theta-dependent ones re-evaluate exactly each call.
+        """
+        _, kde_arrays, extras = self._split_device_data(device_data)
+        if extras is None:
+            raise RuntimeError(
+                "use_exact_kde requires a device_data snapshot taken "
+                "after set_data() (exact rows are per-dataset)")
+        points, static_rows, static_norms = extras
+        kde_map = {i: arr for (i, _), arr in zip(self._kde, kde_arrays)}
+        slot = 0
+        for i, kde in self._kde_exact:
+            if kde.systematics:
+                row, nrm = kde.eval_at(points, theta_syst,
+                                       samples=kde_map[i])
+            else:
+                row, nrm = static_rows[slot], static_norms[slot]
+                slot += 1
+            lut = lut.at[..., i, :].set(row)
+            norms = norms.at[..., i].set(nrm)
+        return lut, norms
+
     def evaluate(self, theta_syst: jnp.ndarray, read_bins=None,
-                 device_data=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 device_data=None, use_exact_kde: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Fused re-histogram + LUT build: theta -> (lut, norms).
 
         This is the inner loop of the MCMC when systematics float.
+        ``use_exact_kde=True`` (sampler fit paths only: read_bins must
+        correspond to the set_data() dataset) evaluates exact-LUT KDE
+        signals at the true event coordinates instead of the bin grid.
         """
         if read_bins is None:
             if self._read_bins is None:
                 raise RuntimeError("set_data() must be called first")
             read_bins = self._read_bins
+        if device_data is None:
+            device_data = self.device_data
         hists, norms = self.histograms(theta_syst, device_data)
         if self.use_pallas:
             # Fused MXU gather (pallas_eval_lut) instead of XLA's slow
@@ -474,9 +556,13 @@ class PdfStack:
                 hists.reshape(-1), norms, rb,
                 total_nbins=self.total_nbins, nsegments=self.nsignals,
                 bin_volume=self.bin_volume, chunk=chunk)[:, :nev]
-            return lut, norms
-        lut = jax.vmap(evalhist.eval_from_bins, in_axes=(0, 0, None, 0))(
-            hists, norms, self.bin_volume, read_bins)
+        else:
+            lut = jax.vmap(evalhist.eval_from_bins,
+                           in_axes=(0, 0, None, 0))(
+                hists, norms, self.bin_volume, read_bins)
+        if use_exact_kde and self._kde_exact:
+            lut, norms = self._exact_kde_override(
+                lut, norms, theta_syst, device_data)
         return lut, norms
 
     def efficiencies(self, theta_syst) -> jnp.ndarray:
@@ -537,7 +623,7 @@ class PdfStack:
         return jax.vmap(lambda t: self.histograms(t, device_data))(thetas)
 
     def evaluate_batch(self, thetas: jnp.ndarray, read_bins=None,
-                       device_data=None
+                       device_data=None, use_exact_kde: bool = False
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Batched (lut, norms): thetas (nchains, nsyst) ->
         ((nchains, nsignals, nevents), (nchains, nsignals))."""
@@ -545,6 +631,8 @@ class PdfStack:
             if self._read_bins is None:
                 raise RuntimeError("set_data() must be called first")
             read_bins = self._read_bins
+        if device_data is None:
+            device_data = self.device_data
         thetas = jnp.asarray(thetas, jnp.float32)
         hists, norms = self.histograms_batch(thetas, device_data)
         nchains = thetas.shape[0]
@@ -568,11 +656,36 @@ class PdfStack:
                 total_nbins=self.total_nbins,
                 nsegments=nchains * self.nsignals,
                 bin_volume=self.bin_volume, chunk=chunk)[:, :nev]
-            return lut.reshape(nchains, self.nsignals, nev), norms
-        lut = jax.vmap(
-            lambda h, n: jax.vmap(
-                evalhist.eval_from_bins, in_axes=(0, 0, None, 0))(
-                    h, n, self.bin_volume, read_bins))(hists, norms)
+            lut = lut.reshape(nchains, self.nsignals, nev)
+        else:
+            lut = jax.vmap(
+                lambda h, n: jax.vmap(
+                    evalhist.eval_from_bins, in_axes=(0, 0, None, 0))(
+                        h, n, self.bin_volume, read_bins))(hists, norms)
+        if use_exact_kde and self._kde_exact:
+            nev = lut.shape[-1]
+            _, kde_arrays, extras = self._split_device_data(device_data)
+            if extras is None:
+                raise RuntimeError(
+                    "use_exact_kde requires a device_data snapshot "
+                    "taken after set_data()")
+            points, static_rows, static_norms = extras
+            kde_map = {i: arr
+                       for (i, _), arr in zip(self._kde, kde_arrays)}
+            slot = 0
+            for i, kde in self._kde_exact:
+                if kde.systematics:
+                    rows, nrms = jax.vmap(
+                        lambda t, _i=i, _k=kde: _k.eval_at(
+                            points, t, samples=kde_map[_i]))(thetas)
+                else:
+                    rows = jnp.broadcast_to(
+                        static_rows[slot][None], (nchains, nev))
+                    nrms = jnp.broadcast_to(static_norms[slot][None],
+                                            (nchains,))
+                    slot += 1
+                lut = lut.at[:, i].set(rows)
+                norms = norms.at[:, i].set(nrms)
         return lut, norms
 
 

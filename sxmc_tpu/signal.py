@@ -149,6 +149,7 @@ class Signal:
         systematics: Sequence[Systematic],
         kde: bool = False,
         bandwidth_scale=None,
+        kde_exact: bool = False,
     ) -> "Signal":
         if kde:
             # KDE signals take the generic table path (no native
@@ -158,7 +159,7 @@ class Signal:
                 name, title, data, fields, dataset, source, nexpected,
                 sample_fields, observables, cuts, systematics,
                 filename=filename, kde=True,
-                bandwidth_scale=bandwidth_scale)
+                bandwidth_scale=bandwidth_scale, kde_exact=kde_exact)
         if filename.endswith((".sxnt", ".sxt")):
             # Native ingest: cuts + column mapping + DATASET tag run in
             # the C++ event store (sxmc_tpu/io/native), no Python loop.
@@ -207,6 +208,7 @@ class Signal:
         filename: str = "<memory>",
         kde: bool = False,
         bandwidth_scale=None,
+        kde_exact: bool = False,
     ) -> "Signal":
         n_mc = data.shape[0]
         # Negative nexpected is the scale sentinel: scale S was stored as
@@ -217,7 +219,8 @@ class Signal:
         samples = read_dataset_to_samples(
             data, fields, dataset, sample_fields, cuts)
         hist = build_pdf(samples, sample_fields, observables, systematics,
-                         dataset, kde=kde, bandwidth_scale=bandwidth_scale)
+                         dataset, kde=kde, bandwidth_scale=bandwidth_scale,
+                         kde_exact=kde_exact)
         return cls(
             name=name, title=title, filename=filename, dataset=dataset,
             source=source, nexpected=float(nexpected), n_mc=int(n_mc),
@@ -283,6 +286,7 @@ def build_pdf(
     dataset: int,
     kde: bool = False,
     bandwidth_scale=None,
+    kde_exact: bool = False,
 ) -> EvalHist:
     """Construct the EvalHist + attach systematics (signal.cpp:112-169).
 
@@ -312,7 +316,7 @@ def build_pdf(
 
         hist = EvalKDE(samples, len(sample_fields), nobs, lower, upper,
                        bandwidth_scale=bandwidth_scale, dataset=dataset,
-                       nbins=nbins)
+                       nbins=nbins, exact_lut=kde_exact)
     else:
         hist = EvalHist(samples, len(sample_fields), nobs, lower, upper,
                         nbins, dataset=dataset)

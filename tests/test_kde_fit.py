@@ -146,3 +146,110 @@ class TestKDEFit:
         mcmc = MCMC(sources, signals, [], [obs])
         with pytest.raises(NotImplementedError):
             run_sharded_chain(mcmc, data, 100)
+
+
+class TestKDEExact:
+    """exact_lut=True: fits evaluate the KDE at the true event
+    coordinates, removing the bin-grid discretization bias entirely."""
+
+    def _fixture(self, with_syst=False, n_mc=2000, seed=2):
+        from sxmc_tpu.signal import Systematic
+
+        rng = np.random.default_rng(seed)
+        obs = Observable(name="energy", field="energy", bins=25,
+                         lower=5.0, upper=15.0, field_index=0)
+        fields = ["energy", "DATASET"]
+        systs = []
+        sig_systs = []
+        if with_syst:
+            systs = [Systematic(name="shift", type=0,
+                                observable_field="energy",
+                                means=[0.0], sigmas=[0.05],
+                                observable_field_index=0, pidx=[0])]
+            sig_systs = systs
+        sig_mc = rng.normal(10, 1, (n_mc, 1)).astype(np.float32)
+        bkg_mc = rng.uniform(5, 15, (20000, 1)).astype(np.float32)
+        src_s = Source(name="sig", index=0, mean=1.0, sigma=0.0)
+        src_b = Source(name="bkg", index=1, mean=1.0, sigma=0.1)
+        sig = Signal.from_table("sig", "S", sig_mc, ["energy"], 0,
+                                src_s, 200.0, fields, [obs], [],
+                                sig_systs, kde=True, kde_exact=True)
+        bkg = Signal.from_table("bkg", "B", bkg_mc, ["energy"], 0,
+                                src_b, 400.0, fields, [obs], [], [])
+        return obs, systs, [src_s, src_b], [sig, bkg]
+
+    def test_exact_row_matches_eval_points(self):
+        obs, systs, sources, signals = self._fixture()
+        stack = PdfStack(signals, [obs], systs)
+        assert stack._kde_exact
+        rng = np.random.default_rng(7)
+        data = np.stack([rng.uniform(5, 15, 300).astype(np.float32),
+                         np.zeros(300, np.float32)], axis=1)
+        stack.set_data(data)
+        import jax.numpy as jnp
+
+        theta = jnp.zeros(0, jnp.float32)
+        lut, norms = stack.evaluate(theta, use_exact_kde=True)
+        exact, nrm = signals[0].histogram.eval_points(data)
+        np.testing.assert_allclose(np.asarray(lut[0]), np.asarray(exact),
+                                   rtol=1e-5)
+        assert float(norms[0]) == float(nrm)
+        # The grid row is a (slightly) different approximation.
+        lut_grid, _ = stack.evaluate(theta, use_exact_kde=False)
+        diff = np.abs(np.asarray(lut[0]) - np.asarray(lut_grid[0]))
+        assert diff.max() > 0  # override really happened
+
+    def test_exact_row_with_systematic_tracks_theta(self):
+        obs, systs, sources, signals = self._fixture(with_syst=True)
+        stack = PdfStack(signals, [obs], systs)
+        rng = np.random.default_rng(8)
+        data = np.stack([rng.uniform(5, 15, 200).astype(np.float32),
+                         np.zeros(200, np.float32)], axis=1)
+        stack.set_data(data)
+        import jax.numpy as jnp
+
+        for tv in (0.0, 0.4):
+            theta = jnp.asarray([tv], jnp.float32)
+            lut, _ = stack.evaluate(theta, use_exact_kde=True)
+            exact, _ = signals[0].histogram.eval_points(data, theta)
+            np.testing.assert_allclose(np.asarray(lut[0]),
+                                       np.asarray(exact), rtol=1e-5)
+
+    def test_exact_batch_matches_single(self):
+        obs, systs, sources, signals = self._fixture(with_syst=True)
+        stack = PdfStack(signals, [obs], systs)
+        rng = np.random.default_rng(9)
+        data = np.stack([rng.uniform(5, 15, 150).astype(np.float32),
+                         np.zeros(150, np.float32)], axis=1)
+        stack.set_data(data)
+        import jax.numpy as jnp
+
+        thetas = jnp.asarray([[0.0], [0.3]], jnp.float32)
+        lutb, normb = stack.evaluate_batch(thetas, use_exact_kde=True)
+        for c in range(2):
+            lut1, norm1 = stack.evaluate(thetas[c], use_exact_kde=True)
+            np.testing.assert_allclose(np.asarray(lutb[c]),
+                                       np.asarray(lut1), rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(normb[c]),
+                                       np.asarray(norm1), rtol=1e-6)
+
+    def test_mcmc_fit_with_exact_kde(self):
+        obs, systs, sources, signals = self._fixture()
+        data = make_fake_dataset(jax.random.PRNGKey(4), signals, [],
+                                 [obs], poisson=False)
+        mcmc = MCMC(sources, signals, [], [obs])
+        ls = mcmc(data, nsteps=6000, burnin_fraction=0.2, seed=5)
+        bf = ls.get_best_fit()
+        assert abs(bf["sig"].point_estimate - 1.0) < 0.3, bf["sig"]
+        assert abs(bf["bkg"].point_estimate - 1.0) < 0.2, bf["bkg"]
+
+    def test_parallel_ensemble_rejects_exact_kde(self):
+        from sxmc_tpu.fitconfig import FitConfig
+        from sxmc_tpu.parallel import ensemble as par_ensemble
+
+        obs, systs, sources, signals = self._fixture()
+        fc = FitConfig(
+            nexperiments=2, nsteps=100, signals=signals,
+            sources=sources, systematics=systs, observables=[obs])
+        with pytest.raises(NotImplementedError):
+            par_ensemble.run_sharded_ensemble(fc, nsteps=100)
