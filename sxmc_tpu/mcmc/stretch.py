@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sxmc_tpu.mcmc.metropolis import MCMC, _chain_nll, nll_history_to_f64
+from sxmc_tpu.mcmc.metropolis import (MCMC, _chain_nll_batch,
+                                      nll_history_to_f64)
 from sxmc_tpu.ops.nll import df_diff
 from sxmc_tpu.stats.likelihood import LikelihoodSpace
 
@@ -93,7 +94,7 @@ def initial_walkers(s: StretchSampler, key, read_bins, device_data):
     Means + initial-jump-width ball, rates kept positive (negative
     rates are the 1e18 barrier region, nll_kernels.cpp:173).
     """
-    nll_batch = jax.vmap(_chain_nll(s, read_bins, device_data))
+    nll_batch = _chain_nll_batch(s, read_bins, device_data, s.nwalkers)
     npar = s.nparameters
     free = ~jnp.asarray(s.parameter_fixed)
     means = jnp.asarray(s.parameter_means, jnp.float32)
@@ -119,7 +120,10 @@ def stretch_segment(s: StretchSampler, walkers, wnll, read_bins,
     block for mid-chain checkpointing (sxmc_tpu.checkpoint), like
     metropolis.run_segment / hmc.main_segment.
     """
-    nll_batch = jax.vmap(_chain_nll(s, read_bins, device_data))
+    # One fused (walkers x signals) rebuild per half-move instead of
+    # per-walker vmapped rebuilds (same trick as the lock-step chains).
+    nll_batch = _chain_nll_batch(s, read_bins, device_data,
+                                 s.nwalkers // 2)
     half = s.nwalkers // 2
     free = ~jnp.asarray(s.parameter_fixed)
     d = jnp.float32(max(s.nfloat, 1))
