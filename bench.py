@@ -164,8 +164,13 @@ def bench_group():
     samples = rng.normal(0.5, 0.2, (total, 1)).astype(np.float32)
     seg = np.repeat(np.arange(nsignals), counts)
     # Per-segment kernel (one signal per chunk) — the production path
-    # PdfStack takes for multi-signal fits.
-    seg_chunk = pallas_hist.pick_segment_chunk(counts)
+    # PdfStack takes for multi-signal fits, including its autotune-cache
+    # chunk lookup (sxmc_tpu.ops.autotune --record feeds it).
+    from sxmc_tpu.ops import autotune
+
+    seg_chunk = autotune.tuned_chunk(
+        "segmented", 1000, nsignals, total,
+        pallas_hist.pick_segment_chunk(counts))
     packed_np, chunk_seg = pallas_hist.pack_samples_per_segment(
         samples, [0.0], seg, nsignals, chunk=seg_chunk)
     packed = jnp.asarray(packed_np)
