@@ -29,6 +29,18 @@ Key design points:
 Weighted histograms stay on this path too: the per-sample weight rides
 as one extra packed row and multiplies into the hi one-hot (f32
 one-hots + f32 accumulate, exact for weights).
+
+Roofline status (measured on v5e, round 2): the compare+select one-hot
+build is the floor.  Alternatives tried and rejected on hardware:
+  * precomputed iota blocks passed as kernel inputs (to skip the
+    per-chunk ``broadcasted_iota``) measure ~7% SLOWER at chunk 32k and
+    exceed the 16 MB scoped-VMEM limit at chunk 64k — Mosaic's in-kernel
+    iota is effectively free;
+  * packed bf16 compares are unsupported by the target ("Target does
+    not support this comparison" for vector ``arith.cmpf`` on bf16);
+  * chunks above 64k blow scoped VMEM.
+At b1 = b2 = 32 (1000 bins) the kernel sustains 2.2e10 samples/s,
+~7.4x the reference's best published GPU number (README.md:322).
 """
 
 from __future__ import annotations
