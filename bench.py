@@ -247,6 +247,25 @@ def bench_mcmc():
     per_step = _slope(seg_fn(n1), seg_fn(n2), n1, n2,
                       (p0, nll0, w0, rb, *dd))
 
+    # Blocked Metropolis-within-Gibbs: M extra rate-only updates per
+    # systematic update reuse the carried LUT (no PDF rebuild) — the
+    # rebuild that dominates per_step above amortizes over 1+M
+    # parameter updates.
+    M = 4
+
+    def seg_blocked_fn(nsteps):
+        def f(p0, nll0, w0, rb, *dd):
+            out = metropolis.run_segment(mcmc, p0, nll0, w0, rb, dd,
+                                         jax.random.PRNGKey(1), nsteps,
+                                         False, M)
+            return out[1][0]
+        return f
+
+    nb1, nb2 = 500, 2500
+    per_cycle = _slope(seg_blocked_fn(nb1), seg_blocked_fn(nb2),
+                       nb1, nb2, (p0, nll0, w0, rb, *dd))
+    blocked_rate = (M + 1) / per_cycle
+
     # NLL-only evals/s (fixed LUT), fori inside one jit.
     theta0 = jnp.zeros(1, jnp.float32)
     lut, norms = mcmc.stack.evaluate(theta0, rb)
@@ -305,6 +324,11 @@ def bench_mcmc():
         {"metric": "ensemble_experiments_per_hour_per_chip",
          "value": exp_per_hour, "unit": "experiments/h",
          "detail": "100k-step experiments, floating systematics"},
+        {"metric": "mcmc_updates_per_sec_blocked",
+         "value": blocked_rate, "unit": "param-updates/s",
+         "detail": f"blocked within-Gibbs, 1 syst rebuild + {M} "
+                   f"fixed-LUT rate updates per cycle, "
+                   f"{per_cycle*1e3:.3f} ms/cycle"},
         {"metric": "nll_evals_per_sec", "value": nbatch / per_batch,
          "unit": "evals/s",
          "detail": f"fixed LUT, {nevents} events x 2 signals, "

@@ -45,12 +45,16 @@ def run_checkpointed(
     debug_mode: bool = False,
     seed: int = 0,
     verbose: bool = False,
+    rate_substeps: int = 0,
 ) -> LikelihoodSpace:
     """Run a single chain with periodic state checkpoints.
 
     Semantics match MCMC.__call__: two burn-in phases of
     ``nsteps * burnin_fraction`` steps with jump-width retuning, then
     the main phase; only main-phase samples are kept (unless debug).
+    ``rate_substeps`` passes through to the blocked stepper; its
+    (lut, norms) extras derive from the params, so checkpoint files
+    are identical either way.
     """
     mcmc.stack.set_data(np.asarray(data, np.float32))
     rb = mcmc.stack._read_bins
@@ -87,7 +91,7 @@ def run_checkpointed(
             mcmc, jnp.asarray(state["params"]),
             (jnp.asarray(state["nll_hi"]), jnp.asarray(state["nll_lo"])),
             jnp.asarray(state["width"]),
-            rb, dd, seg_key, n, debug_mode)
+            rb, dd, seg_key, n, debug_mode, rate_substeps)
 
         samples = np.asarray(samples)
         nlls = metropolis.nll_history_to_f64(nlls)

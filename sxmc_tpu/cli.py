@@ -51,6 +51,12 @@ def main(argv=None) -> int:
                              "fit.signal_name: q0 discovery significance "
                              "and a toy-MC CLs upper limit (NTOYS toys "
                              "per grid point, default 200)")
+    parser.add_argument("--rate-substeps", type=int, default=None,
+                        metavar="M",
+                        help="blocked Metropolis-within-Gibbs: take M "
+                             "extra rate-only updates per systematic "
+                             "update (each skips the PDF rebuild); "
+                             "overrides fit.rate_substeps")
     parser.add_argument("--checkpoint-steps", type=int, default=0,
                         metavar="N",
                         help="run Metropolis chains in N-step segments "
@@ -136,7 +142,8 @@ def main(argv=None) -> int:
                  hypotest_toys=args.hypotest,
                  hypotest_band=args.hypotest_band,
                  checkpoint_steps=args.checkpoint_steps,
-                 max_retries=args.max_retries)
+                 max_retries=args.max_retries,
+                 rate_substeps=args.rate_substeps)
     return 0
 
 

@@ -211,13 +211,16 @@ def run_ensemble(
                         fc.burnin_fraction,
                         segment_steps=checkpoint_steps,
                         checkpoint_path=ckpt, debug_mode=fc.debug_mode,
-                        seed=fc.seed + i, verbose=verbose)
+                        seed=fc.seed + i, verbose=verbose,
+                        rate_substeps=fc.rate_substeps)
                 if os.path.exists(ckpt):
                     os.remove(ckpt)  # completed; resume file not needed
             else:
+                extra = ({"rate_substeps": fc.rate_substeps}
+                         if sampler == "metropolis" else {})
                 ls = mcmc(samples_data, fc.nsteps, fc.burnin_fraction,
                           debug_mode=fc.debug_mode, key=exp_key,
-                          nchains=fc.nchains)
+                          nchains=fc.nchains, **extra)
             elapsed = sw.real_time()
             ls.cl = fc.confidence
             ls.error_type = fc.error_type
@@ -423,11 +426,14 @@ def main_fit(config_file: str, output_path: str, resume: bool = False,
              hypotest_toys: int = 0,
              hypotest_band: bool = False,
              checkpoint_steps: int = 0,
-             max_retries: int = 1) -> List[float]:
+             max_retries: int = 1,
+             rate_substeps: Optional[int] = None) -> List[float]:
     """Full driver (reference: sxmc.cpp:181-229)."""
     print("sxmc_tpu: Loading configuration...")
     print(f"sxmc_tpu: Configuration: {config_file}")
     fc = FitConfig.from_json_file(config_file, data_root=data_root)
+    if rate_substeps is not None:
+        fc.rate_substeps = rate_substeps
     print(fc.print())
 
     print("sxmc_tpu: Running ensemble...")

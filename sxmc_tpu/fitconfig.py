@@ -66,6 +66,11 @@ class FitConfig:
     signal_name: str = ""
     samples: str = ""
     nchains: int = 1
+    # Blocked Metropolis-within-Gibbs: extra rate-block updates per
+    # systematic-block update (each reuses the carried LUT, skipping
+    # the PDF rebuild that dominates step cost).  0 = joint updates
+    # (reference semantics, mcmc.cpp:264-271).
+    rate_substeps: int = 0
     # Plot export formats (the reference saves .pdf/.png/.tex/.C/.root,
     # plots.cpp:130-140; matplotlib covers png/pdf/svg/eps).
     plot_formats: tuple = ("png",)
@@ -117,6 +122,7 @@ class FitConfig:
             signal_name=str(fit.get("signal_name", "")),
             samples=str(fit.get("samples", "")),
             nchains=int(fit.get("nchains", 1)),
+            rate_substeps=int(fit.get("rate_substeps", 0)),
             plot_formats=tuple(fit.get("plot_formats", ["png"])),
             output_format=str(fit.get("output_format", "hdf5")),
         )

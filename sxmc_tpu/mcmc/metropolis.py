@@ -148,6 +148,7 @@ class MCMC:
         nchains: int = 1,
         key: Optional[jax.Array] = None,
         pool_adaptation: bool = False,
+        rate_substeps: int = 0,
     ) -> LikelihoodSpace:
         """Run the random walk; returns the likelihood space.
 
@@ -158,6 +159,14 @@ class MCMC:
         cross-chain ``pmean`` pattern of SURVEY.md section 5): every
         chain then walks with identical, better-estimated widths, at the
         price of a barrier between burn-in phases.
+
+        ``rate_substeps > 0`` enables blocked Metropolis-within-Gibbs
+        updates: each recorded step is one systematic-block move (PDF
+        rebuild — the per-step throughput wall, mcmc.cpp:264-271)
+        followed by that many rate-block moves that reuse the carried
+        LUT at zero rebuild cost.  Same posterior, ~(1 + substeps) x
+        more parameter updates per rebuild.  ``nsteps`` then counts
+        recorded cycles.
         """
         self.stack.set_data(np.asarray(data, np.float32))
         burnin_steps = int(nsteps * burnin_fraction)
@@ -176,7 +185,8 @@ class MCMC:
             runner = _run_chains
         samples, nlls, accept_rate = runner(
             self, chain_keys, self.stack._read_bins,
-            self.stack.device_data, nsteps, burnin_steps, debug_mode)
+            self.stack.device_data, nsteps, burnin_steps, debug_mode,
+            rate_substeps=rate_substeps)
 
         # Pool chains: (nchains, nkeep, npar) -> (nchains * nkeep, npar).
         samples = np.asarray(samples).reshape(-1, self.nparameters)
@@ -203,9 +213,11 @@ class MCMC:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mcmc", "nsteps", "debug_mode"))
+    jax.jit,
+    static_argnames=("mcmc", "nsteps", "debug_mode", "rate_substeps"))
 def run_segment(mcmc: MCMC, params, cur_nll, width, read_bins,
-                device_data, key, nsteps: int, debug_mode: bool = False):
+                device_data, key, nsteps: int, debug_mode: bool = False,
+                rate_substeps: int = 0):
     """Run one fixed-width chain segment; returns carry + history.
 
     ``cur_nll`` and the returned NLL history are compensated (hi, lo)
@@ -215,11 +227,16 @@ def run_segment(mcmc: MCMC, params, cur_nll, width, read_bins,
     the chain state (params, nll, width, key) is explicit, so a killed
     run resumes exactly where the last segment ended — a capability the
     reference lacks entirely (SURVEY.md section 5, checkpoint/resume).
+    With ``rate_substeps > 0`` the blocked stepper's (lut, norms) extras
+    are reconstructed from ``params`` at segment start, so checkpoint
+    state is identical for both modes.
     """
-    step = _make_step(mcmc, read_bins, device_data, debug_mode)
+    step, init_extras = _make_stepper(mcmc, read_bins, device_data,
+                                      debug_mode, rate_substeps)
     keys = jax.random.split(key, nsteps)
-    (params, cur_nll, width), (samples, nlls, accepts) = jax.lax.scan(
-        step, (params, cur_nll, width), keys)
+    carry = (params, cur_nll, width) + tuple(init_extras(params))
+    carry, (samples, nlls, accepts) = jax.lax.scan(step, carry, keys)
+    params, cur_nll = carry[0], carry[1]
     return params, cur_nll, samples, nlls, accepts.mean()
 
 
@@ -289,24 +306,137 @@ def _make_step(mcmc: MCMC, read_bins, device_data, debug_mode: bool):
     return step
 
 
+def _blocked_enabled(mcmc: MCMC, rate_substeps: int) -> bool:
+    """Blocked (Metropolis-within-Gibbs) updates apply when there is a
+    floating systematic (else the LUT never changes and the plain step
+    already skips rebuilds) and a rate block to sub-step."""
+    syst_float = (mcmc.nsystematics > 0) and not mcmc.systematics_fixed
+    return rate_substeps > 0 and syst_float and mcmc.nsources > 0
+
+
+def _make_blocked_step(mcmc: MCMC, read_bins, device_data,
+                       debug_mode: bool, rate_substeps: int):
+    """Blocked Metropolis-within-Gibbs step: one systematic-block update
+    (PDF rebuild) followed by ``rate_substeps`` rate-block updates that
+    REUSE the carried LUT — no rebuild.
+
+    The PDFs depend only on the systematic coefficients, so a move that
+    touches only source rates leaves (lut, norms) invariant: the
+    throughput-dominating histogram kernel (mcmc.cpp:264-271) runs once
+    per cycle instead of once per parameter update.  Each block update
+    is a reversible Metropolis kernel holding the other block fixed;
+    their composition leaves the posterior invariant (standard blocked
+    MCMC), so the walk targets exactly the same distribution as the
+    joint sampler.
+
+    Carry extras: (lut, norms) of the CURRENT state — a pure function
+    of the current params, so checkpoints need not store them.
+    """
+    st = mcmc.static
+    ns = mcmc.nsources
+    stack = mcmc.stack
+    m = rate_substeps
+    # numpy constant: embeds in the executable (never a device closure).
+    rate_sel = np.arange(mcmc.nparameters) < ns
+
+    def rebuild(params):
+        return stack.evaluate(params[ns:], read_bins, device_data,
+                              use_exact_kde=True)
+
+    def init_extras(params):
+        return rebuild(params)
+
+    def step(carry, step_key):
+        params, (cur_hi, cur_lo), width, lut, norms = carry
+        keys = jax.random.split(step_key, 2 * (m + 1)).reshape(
+            m + 1, 2, 2)
+
+        # --- systematic block: propose + full PDF rebuild ------------
+        noise = jax.random.normal(keys[0, 0], params.shape) * \
+            jnp.maximum(width, 0.0)
+        move = (width > 0) & ~rate_sel
+        proposed = jnp.where(move, params + noise, params)
+        plut, pnorms = rebuild(proposed)
+        prop_hi, prop_lo = nll_pair_fn(proposed, plut, pnorms, st)
+        u = jax.random.uniform(keys[0, 1], ())
+        delta = df_diff(cur_hi, cur_lo, prop_hi, prop_lo)
+        accept = debug_mode | (delta > 0) | (u <= jnp.exp(delta))
+        params = jnp.where(accept, proposed, params)
+        cur_hi = jnp.where(accept, prop_hi, cur_hi)
+        cur_lo = jnp.where(accept, prop_lo, cur_lo)
+        lut = jnp.where(accept, plut, lut)
+        norms = jnp.where(accept, pnorms, norms)
+        acc0 = accept.astype(jnp.float32)
+
+        # --- rate block: m cheap fixed-LUT updates --------------------
+        def sub(c2, ks):
+            p, hi, lo, acc = c2
+            nz = jax.random.normal(ks[0], p.shape) * jnp.maximum(
+                width, 0.0)
+            mv = (width > 0) & rate_sel
+            prop = jnp.where(mv, p + nz, p)
+            phi, plo = nll_pair_fn(prop, lut, norms, st)
+            uu = jax.random.uniform(ks[1], ())
+            d = df_diff(hi, lo, phi, plo)
+            a = debug_mode | (d > 0) | (uu <= jnp.exp(d))
+            p = jnp.where(a, prop, p)
+            hi = jnp.where(a, phi, hi)
+            lo = jnp.where(a, plo, lo)
+            return (p, hi, lo, acc + a.astype(jnp.float32)), None
+
+        (params, cur_hi, cur_lo, acc), _ = jax.lax.scan(
+            sub, (params, cur_hi, cur_lo, acc0), keys[1:])
+        return ((params, (cur_hi, cur_lo), width, lut, norms),
+                (params, (cur_hi, cur_lo), acc / (m + 1)))
+
+    return step, init_extras
+
+
+def _make_stepper(mcmc: MCMC, read_bins, device_data, debug_mode: bool,
+                  rate_substeps: int = 0):
+    """Uniform step factory: returns ``(step, init_extras)``.
+
+    The scan carry is ``(params, (hi, lo), width, *extras)``; extras is
+    empty for the joint step and ``(lut, norms)`` for the blocked step.
+    History output is identical for both: (params, nll pair, accept
+    fraction per recorded step).
+    """
+    if _blocked_enabled(mcmc, rate_substeps):
+        return _make_blocked_step(mcmc, read_bins, device_data,
+                                  debug_mode, rate_substeps)
+    base = _make_step(mcmc, read_bins, device_data, debug_mode)
+
+    def step(carry, step_key):
+        (p, nl, w) = carry[:3]
+        (p, nl, w), out = base((p, nl, w), step_key)
+        return (p, nl, w), out
+
+    return step, lambda params: ()
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("mcmc", "nsteps", "burnin_steps", "debug_mode"))
+    static_argnames=("mcmc", "nsteps", "burnin_steps", "debug_mode",
+                     "rate_substeps"))
 def _run_chains(mcmc: MCMC, chain_keys, read_bins, device_data,
-                nsteps: int, burnin_steps: int, debug_mode: bool):
+                nsteps: int, burnin_steps: int, debug_mode: bool,
+                rate_substeps: int = 0):
     """Run all chains (vmapped) with two burn-in retuning phases."""
     run = functools.partial(_run_single_chain, mcmc, nsteps=nsteps,
                             burnin_steps=burnin_steps,
-                            debug_mode=debug_mode)
+                            debug_mode=debug_mode,
+                            rate_substeps=rate_substeps)
     return jax.vmap(run, in_axes=(0, None, None))(
         chain_keys, read_bins, device_data)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mcmc", "nsteps", "burnin_steps", "debug_mode"))
+    static_argnames=("mcmc", "nsteps", "burnin_steps", "debug_mode",
+                     "rate_substeps"))
 def _run_chains_pooled(mcmc: MCMC, chain_keys, read_bins, device_data,
-                       nsteps: int, burnin_steps: int, debug_mode: bool):
+                       nsteps: int, burnin_steps: int, debug_mode: bool,
+                       rate_substeps: int = 0):
     """Vmapped chains with jump widths retuned from the POOLED burn-in
     sample RMS of all chains (cross-chain adaptation, SURVEY.md sec. 5).
 
@@ -314,16 +444,18 @@ def _run_chains_pooled(mcmc: MCMC, chain_keys, read_bins, device_data,
     all-reduce over the chain axis — the pmean/allgather pattern.
     """
     nchains = chain_keys.shape[0]
+    stepper, init_extras = _make_stepper(mcmc, read_bins, device_data,
+                                         debug_mode, rate_substeps)
 
     def phase(carry_batch, keys, n):
         def one(carry, k):
-            step = _make_step(mcmc, read_bins, device_data, debug_mode)
-            return jax.lax.scan(step, carry, jax.random.split(k, n))
+            return jax.lax.scan(stepper, carry, jax.random.split(k, n))
 
         return jax.vmap(one)(carry_batch, keys)
 
     def init(_k):
-        return initial_state(mcmc, read_bins, device_data)
+        p0, n0, w0 = initial_state(mcmc, read_bins, device_data)
+        return (p0, n0, w0) + tuple(init_extras(p0))
 
     carry = jax.vmap(init)(chain_keys)
     # Independent per-chain phase keys derived from each chain's key.
@@ -332,17 +464,17 @@ def _run_chains_pooled(mcmc: MCMC, chain_keys, read_bins, device_data,
     outs = []
     if burnin_steps > 0:
         carry, (s1, n1, a1) = phase(carry, keys3[:, 0], burnin_steps)
-        p, c, w = carry
+        p, c, w = carry[:3]
         # Pool the RMS over (chain, step) — the better estimate every
         # chain shares.
         pooled = s1.reshape(-1, s1.shape[-1])
         w_new = retune_width(mcmc, w[0], pooled)
-        carry = (p, c, jnp.broadcast_to(w_new, w.shape))
+        carry = (p, c, jnp.broadcast_to(w_new, w.shape)) + carry[3:]
         carry, (s2, n2, a2) = phase(carry, keys3[:, 1], burnin_steps)
-        p, c, w = carry
+        p, c, w = carry[:3]
         pooled = s2.reshape(-1, s2.shape[-1])
         w_new = retune_width(mcmc, w[0], pooled)
-        carry = (p, c, jnp.broadcast_to(w_new, w.shape))
+        carry = (p, c, jnp.broadcast_to(w_new, w.shape)) + carry[3:]
         if debug_mode:
             outs += [(s1, n1, a1), (s2, n2, a2)]
 
@@ -391,18 +523,42 @@ def _chain_nll_batch(mcmc: MCMC, read_bins, device_data, nchains: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mcmc", "nsteps", "burnin_steps", "debug_mode"))
+    static_argnames=("mcmc", "nsteps", "burnin_steps", "debug_mode",
+                     "rate_substeps"))
 def _run_chains_batched(mcmc: MCMC, chain_keys, read_bins, device_data,
                         nsteps: int, burnin_steps: int,
-                        debug_mode: bool):
+                        debug_mode: bool, rate_substeps: int = 0):
     """All chains advance in lock-step; each step's nchains PDF
     rebuilds are one fused kernel launch (the chains x signals batched
     build).  Same phase/retune semantics as :func:`_run_single_chain`,
-    retuned per chain."""
+    retuned per chain.  With ``rate_substeps > 0`` each cycle is one
+    batched systematic-block rebuild plus that many fixed-LUT
+    rate-block updates (blocked Metropolis-within-Gibbs, see
+    :func:`_make_blocked_step`)."""
     nchains = chain_keys.shape[0]
     batch_nll = _chain_nll_batch(mcmc, read_bins, device_data, nchains)
     fixed = jnp.asarray(mcmc.parameter_fixed)
     sf = HAARIO / max(mcmc.nfloat, 1)
+    blocked = _blocked_enabled(mcmc, rate_substeps)
+    m = rate_substeps if blocked else 0
+    st = mcmc.static
+    ns = mcmc.nsources
+    stack = mcmc.stack
+    rate_sel = np.arange(mcmc.nparameters) < ns
+
+    def rebuild_batch(params):
+        return stack.evaluate_batch(params[:, ns:], read_bins,
+                                    device_data, use_exact_kde=True)
+
+    def _accept_update(params, cur_hi, cur_lo, proposed, prop_hi,
+                       prop_lo, ka):
+        u = jax.vmap(lambda k: jax.random.uniform(k, ()))(ka)
+        delta = df_diff(cur_hi, cur_lo, prop_hi, prop_lo)
+        accept = debug_mode | (delta > 0) | (u <= jnp.exp(delta))
+        params = jnp.where(accept[:, None], proposed, params)
+        cur_hi = jnp.where(accept, prop_hi, cur_hi)
+        cur_lo = jnp.where(accept, prop_lo, cur_lo)
+        return params, cur_hi, cur_lo, accept
 
     def step(carry, keys_c):
         params, (cur_hi, cur_lo), width = carry
@@ -413,23 +569,62 @@ def _run_chains_batched(mcmc: MCMC, chain_keys, read_bins, device_data,
         noise = noise * jnp.maximum(width, 0.0)
         proposed = jnp.where(width > 0, params + noise, params)
         prop_hi, prop_lo = batch_nll(proposed)
-        u = jax.vmap(lambda k: jax.random.uniform(k, ()))(ka)
-        delta = df_diff(cur_hi, cur_lo, prop_hi, prop_lo)
-        accept = debug_mode | (delta > 0) | (u <= jnp.exp(delta))
-        params = jnp.where(accept[:, None], proposed, params)
-        cur_hi = jnp.where(accept, prop_hi, cur_hi)
-        cur_lo = jnp.where(accept, prop_lo, cur_lo)
+        params, cur_hi, cur_lo, accept = _accept_update(
+            params, cur_hi, cur_lo, proposed, prop_hi, prop_lo, ka)
         return ((params, (cur_hi, cur_lo), width),
                 (params, (cur_hi, cur_lo), accept.astype(jnp.float32)))
 
+    def blocked_step(carry, keys_c):
+        # keys_c: (nchains, m + 1, 2, keysize)
+        params, (cur_hi, cur_lo), width, lut, norms = carry
+        noise = jax.vmap(
+            lambda k, p: jax.random.normal(k, p.shape))(
+                keys_c[:, 0, 0], params)
+        noise = noise * jnp.maximum(width, 0.0)
+        move = (width > 0) & ~rate_sel[None, :]
+        proposed = jnp.where(move, params + noise, params)
+        plut, pnorms = rebuild_batch(proposed)
+        prop_hi, prop_lo = jax.vmap(
+            nll_pair_fn, in_axes=(0, 0, 0, None))(
+                proposed, plut, pnorms, st)
+        params, cur_hi, cur_lo, accept = _accept_update(
+            params, cur_hi, cur_lo, proposed, prop_hi, prop_lo,
+            keys_c[:, 0, 1])
+        lut = jnp.where(accept[:, None, None], plut, lut)
+        norms = jnp.where(accept[:, None], pnorms, norms)
+        acc0 = accept.astype(jnp.float32)
+
+        def sub(c2, ks):
+            p, hi, lo, acc = c2
+            nz = jax.vmap(
+                lambda k, pp: jax.random.normal(k, pp.shape))(ks[:, 0], p)
+            nz = nz * jnp.maximum(width, 0.0)
+            mv = (width > 0) & rate_sel[None, :]
+            prop = jnp.where(mv, p + nz, p)
+            phi, plo = jax.vmap(
+                nll_pair_fn, in_axes=(0, 0, 0, None))(prop, lut, norms,
+                                                      st)
+            p, hi, lo, a = _accept_update(p, hi, lo, prop, phi, plo,
+                                          ks[:, 1])
+            return (p, hi, lo, acc + a.astype(jnp.float32)), None
+
+        (params, cur_hi, cur_lo, acc), _ = jax.lax.scan(
+            sub, (params, cur_hi, cur_lo, acc0),
+            jnp.moveaxis(keys_c[:, 1:], 1, 0))
+        return ((params, (cur_hi, cur_lo), width, lut, norms),
+                (params, (cur_hi, cur_lo), acc / (m + 1)))
+
     def phase_keys(ks, n):
-        # (nchains, n, 2, ...) -> (n, nchains, 2, ...) scan xs.
-        split = jax.vmap(lambda k: jax.random.split(k, 2 * n).reshape(
-            n, 2, -1))(ks)
-        return jnp.moveaxis(split, 0, 1)
+        # (nchains, n, m+1, 2, ...) -> (n, nchains, [m+1,] 2, ...).
+        kpc = 2 * (m + 1)
+        split = jax.vmap(lambda k: jax.random.split(k, kpc * n).reshape(
+            n, m + 1, 2, -1))(ks)
+        out = jnp.moveaxis(split, 0, 1)
+        return out if blocked else out[:, :, 0]
 
     def run_phase(carry, ks, n):
-        return jax.lax.scan(step, carry, phase_keys(ks, n))
+        return jax.lax.scan(blocked_step if blocked else step, carry,
+                            phase_keys(ks, n))
 
     def retune(width, phase_samples):
         rms = jnp.std(phase_samples, axis=0)  # (nchains, nparams)
@@ -444,16 +639,18 @@ def _run_chains_batched(mcmc: MCMC, chain_keys, read_bins, device_data,
         jnp.asarray(mcmc.initial_jump_widths()),
         (nchains, mcmc.nparameters))
     carry = (params0, nll0, width0)
+    if blocked:
+        carry = carry + tuple(rebuild_batch(params0))
 
     keys3 = jax.vmap(lambda k: jax.random.split(k, 3))(chain_keys)
     outs = []
     if burnin_steps > 0:
         carry, (s1, n1, a1) = run_phase(carry, keys3[:, 0], burnin_steps)
-        p, c, w = carry
-        carry = (p, c, retune(w, s1))
+        p, c, w = carry[:3]
+        carry = (p, c, retune(w, s1)) + carry[3:]
         carry, (s2, n2, a2) = run_phase(carry, keys3[:, 1], burnin_steps)
-        p, c, w = carry
-        carry = (p, c, retune(w, s2))
+        p, c, w = carry[:3]
+        carry = (p, c, retune(w, s2)) + carry[3:]
         if debug_mode:
             outs += [(s1, n1, a1), (s2, n2, a2)]
 
@@ -477,7 +674,8 @@ def _run_chains_batched(mcmc: MCMC, chain_keys, read_bins, device_data,
 
 def run_experiment_batch(mcmc: MCMC, keys, read_bins_batch,
                          device_data, nsteps: int,
-                         burnin_steps: int, debug_mode: bool = False):
+                         burnin_steps: int, debug_mode: bool = False,
+                         rate_substeps: int = 0):
     """Vmapped ensemble: one chain per experiment, batched datasets.
 
     The reference runs experiments in a serial host loop
@@ -490,14 +688,17 @@ def run_experiment_batch(mcmc: MCMC, keys, read_bins_batch,
     """
     run = functools.partial(_run_single_chain, mcmc, nsteps=nsteps,
                             burnin_steps=burnin_steps,
-                            debug_mode=debug_mode)
+                            debug_mode=debug_mode,
+                            rate_substeps=rate_substeps)
     return jax.vmap(run, in_axes=(0, 0, None))(
         keys, read_bins_batch, device_data)
 
 
 def _run_single_chain(mcmc: MCMC, key, read_bins, device_data, *,
-                      nsteps: int, burnin_steps: int, debug_mode: bool):
-    step = _make_step(mcmc, read_bins, device_data, debug_mode)
+                      nsteps: int, burnin_steps: int, debug_mode: bool,
+                      rate_substeps: int = 0):
+    step, init_extras = _make_stepper(mcmc, read_bins, device_data,
+                                      debug_mode, rate_substeps)
 
     def run_phase(carry, phase_key, n):
         keys = jax.random.split(phase_key, n)
@@ -509,16 +710,16 @@ def _run_single_chain(mcmc: MCMC, key, read_bins, device_data, *,
     params0, nll0, width0 = initial_state(mcmc, read_bins, device_data)
 
     k1, k2, k3 = jax.random.split(key, 3)
-    carry = (params0, nll0, width0)
+    carry = (params0, nll0, width0) + tuple(init_extras(params0))
 
     outs = []
     if burnin_steps > 0:
         carry, (s1, n1, a1) = run_phase(carry, k1, burnin_steps)
-        p, c, w = carry
-        carry = (p, c, retune(w, s1))
+        p, c, w = carry[:3]
+        carry = (p, c, retune(w, s1)) + carry[3:]
         carry, (s2, n2, a2) = run_phase(carry, k2, burnin_steps)
-        p, c, w = carry
-        carry = (p, c, retune(w, s2))
+        p, c, w = carry[:3]
+        carry = (p, c, retune(w, s2)) + carry[3:]
         if debug_mode:
             outs += [(s1, n1, a1), (s2, n2, a2)]
 
