@@ -69,6 +69,13 @@ def main(argv=None) -> int:
                              "under a fresh RNG key before recording it "
                              "as failed and continuing the ensemble "
                              "(default 1)")
+    parser.add_argument("--gof", metavar="NTOYS", nargs="?", const=0,
+                        type=int, default=-1, dest="gof_toys",
+                        help="report a saturated-chi2 goodness-of-fit "
+                             "at each best fit (asymptotic p-value); "
+                             "with NTOYS > 0, also an exact "
+                             "posterior-predictive p-value from that "
+                             "many simulated toys")
     parser.add_argument("--hypotest-band", action="store_true",
                         help="with --hypotest, also compute the median "
                              "and +-1 sigma expected CLs limits (the "
@@ -143,7 +150,8 @@ def main(argv=None) -> int:
                  hypotest_band=args.hypotest_band,
                  checkpoint_steps=args.checkpoint_steps,
                  max_retries=args.max_retries,
-                 rate_substeps=args.rate_substeps)
+                 rate_substeps=args.rate_substeps,
+                 gof_toys=args.gof_toys)
     return 0
 
 

@@ -36,8 +36,14 @@ def run_ensemble(
     hypotest_band: bool = False,
     checkpoint_steps: int = 0,
     max_retries: int = 1,
+    gof_toys: int = -1,
 ) -> List[float]:
     """Run the full ensemble; returns the per-experiment upper limits.
+
+    ``gof_toys >= 0`` (the ``--gof`` CLI flag) adds a saturated-chi2
+    goodness-of-fit check at each experiment's best fit (asymptotic
+    p-value; plus an exact posterior-predictive p-value from that many
+    simulated toys when > 0) — see sxmc_tpu.stats.gof.
 
     ``hypotest_toys > 0`` additionally runs the frequentist hypothesis
     tests (q0 discovery significance + CLs upper limit, and the expected
@@ -251,6 +257,22 @@ def run_ensemble(
             ess={n: d["ess"] for n, d in diag.items()},
             rhat={n: d["rhat"] for n, d in diag.items()})
 
+        if gof_toys >= 0 and getattr(mcmc, "parameter_names", None):
+            from sxmc_tpu.stats.gof import goodness_of_fit
+
+            bf = ls.get_best_fit()
+            best_params = np.asarray(
+                [bf[n].point_estimate for n in mcmc.parameter_names],
+                np.float32)
+            gof = goodness_of_fit(
+                fc.sources, fc.signals, fc.systematics, fc.observables,
+                samples_data, best_params, ntoys=max(gof_toys, 0),
+                key=jax.random.fold_in(exp_key, 11), stack=mcmc.stack)
+            log(f"-- Goodness of fit --\n {gof}")
+            metrics.log("experiment_gof", experiment=i, chi2=gof.chi2,
+                        ndof=gof.ndof, p_asymptotic=gof.p_asymptotic,
+                        p_toys=gof.p_toys)
+
         if fc.plots and samples_data is not None:
             try:
                 from sxmc_tpu import plots
@@ -427,7 +449,8 @@ def main_fit(config_file: str, output_path: str, resume: bool = False,
              hypotest_band: bool = False,
              checkpoint_steps: int = 0,
              max_retries: int = 1,
-             rate_substeps: Optional[int] = None) -> List[float]:
+             rate_substeps: Optional[int] = None,
+             gof_toys: int = -1) -> List[float]:
     """Full driver (reference: sxmc.cpp:181-229)."""
     print("sxmc_tpu: Loading configuration...")
     print(f"sxmc_tpu: Configuration: {config_file}")
@@ -441,7 +464,7 @@ def main_fit(config_file: str, output_path: str, resume: bool = False,
                           sampler=sampler, hypotest_toys=hypotest_toys,
                           hypotest_band=hypotest_band,
                           checkpoint_steps=checkpoint_steps,
-                          max_retries=max_retries)
+                          max_retries=max_retries, gof_toys=gof_toys)
 
     if limits:
         print("sxmc_tpu: Upper limits:", ", ".join(f"{x:g}" for x in limits))

@@ -121,6 +121,7 @@ def make_fake_dataset_batch(
     stack=None,
     rates=None,
     fluctuate_systematics: bool = False,
+    theta=None,
 ) -> np.ndarray:
     """Generate ``ntoys`` fake datasets as one padded batch.
 
@@ -137,6 +138,11 @@ def make_fake_dataset_batch(
     constrained systematics into toy-MC limits (FC belts, CLs), which
     the plug-in prescription underestimates.
 
+    ``theta`` pins the systematic coefficients the toys are generated
+    at (default: nominal) — e.g. the best-fit vector for
+    posterior-predictive checks or a profiled theta-hat for
+    profile-construction belts.
+
     Returns ``(ntoys, nev_max, nobs + 1)`` float32 where padding rows
     carry dataset tag -1 (the unknown-dataset sentinel that is provably
     invisible to the NLL).
@@ -150,7 +156,8 @@ def make_fake_dataset_batch(
 
         stack = PdfStack(signals, observables, systematics)
 
-    theta = nominal_params(systematics)
+    theta = (nominal_params(systematics) if theta is None
+             else np.asarray(theta, np.float32))
     key = jax.numpy.asarray(key)
 
     syst_sigmas = np.zeros_like(theta)
@@ -237,6 +244,7 @@ def make_fake_dataset(
     verbose: bool = False,
     stack=None,
     rates=None,
+    theta=None,
 ) -> np.ndarray:
     """Generate one fake dataset (reference: generator.cpp:9-48).
 
@@ -244,7 +252,8 @@ def make_fake_dataset(
     Pass the fit's PdfStack as ``stack`` to reuse its compiled kernels.
     ``rates`` optionally maps signal names to rate multipliers on the
     expected count (used by toy-MC constructions, e.g. Feldman-Cousins
-    belts, to inject a chosen true signal rate).
+    belts, to inject a chosen true signal rate).  ``theta`` pins the
+    systematic coefficients (default nominal).
     """
     if not signals:
         return np.zeros((0, len(observables) + 1), np.float32)
@@ -254,7 +263,8 @@ def make_fake_dataset(
 
         stack = PdfStack(signals, observables, systematics)
 
-    theta = nominal_params(systematics)
+    theta = (nominal_params(systematics) if theta is None
+             else np.asarray(theta, np.float32))
     hists, norms = stack.histograms(theta)
     hists = np.asarray(hists)
     norms = np.asarray(norms)
