@@ -40,9 +40,11 @@ def main(argv=None) -> int:
                         help="multi-host: this process's id")
     parser.add_argument("--sampler",
                         choices=["metropolis", "hmc", "nuts", "stretch",
-                                 "mle"],
+                                 "tempered", "mle"],
                         default="metropolis",
-                        help="MCMC sampler, or 'mle' for a gradient "
+                        help="MCMC sampler ('tempered' = parallel-"
+                             "tempered replica exchange for multimodal "
+                             "posteriors), or 'mle' for a gradient "
                              "maximum-likelihood fit with profile-"
                              "likelihood intervals")
     parser.add_argument("--hypotest", metavar="NTOYS", nargs="?",

@@ -101,6 +101,11 @@ def run_ensemble(
 
             mcmc = StretchSampler(fc.sources, fc.signals, fc.systematics,
                                   fc.observables)
+        elif sampler == "tempered":
+            from sxmc_tpu.mcmc.tempered import TemperedMCMC
+
+            mcmc = TemperedMCMC(fc.sources, fc.signals, fc.systematics,
+                                fc.observables)
         elif sampler == "mle":
             from sxmc_tpu.stats.mle import MLE
 
