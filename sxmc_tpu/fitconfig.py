@@ -255,6 +255,11 @@ class FitConfig:
                  f"  Burn-in fraction: {self.burnin_fraction}",
                  f"  Random seed (0=random): {self.seed}",
                  f"  Confidence level: {self.confidence}"]
+        if self.nchains > 1:
+            lines.append(f"  Chains per experiment: {self.nchains}")
+        if self.rate_substeps > 0:
+            lines.append(f"  Rate substeps (blocked within-Gibbs): "
+                         f"{self.rate_substeps}")
         lines.append("Signals:")
         for s in self.signals:
             lines.append(f"  {s.name}: nexpected={s.nexpected} "

@@ -85,7 +85,8 @@ def run_sharded_ensemble(
     def run_one_experiment(exp_keys, exp_rb):
         run = lambda k: metropolis._run_single_chain(  # noqa: E731
             mcmc, k, exp_rb, device_data, nsteps=nsteps,
-            burnin_steps=burnin_steps, debug_mode=fc.debug_mode)
+            burnin_steps=burnin_steps, debug_mode=fc.debug_mode,
+            rate_substeps=getattr(fc, 'rate_substeps', 0))
         return jax.vmap(run)(exp_keys)
 
     batched = jax.vmap(run_one_experiment)

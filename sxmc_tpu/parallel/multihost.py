@@ -76,7 +76,8 @@ def run_multihost_ensemble(
         samples, nlls, _ = metropolis.run_experiment_batch(
             mcmc, keys, jnp.asarray(np.asarray(rb)),
             mcmc.stack.device_data, nsteps=nsteps,
-            burnin_steps=burnin_steps, debug_mode=fc.debug_mode)
+            burnin_steps=burnin_steps, debug_mode=fc.debug_mode,
+            rate_substeps=getattr(fc, 'rate_substeps', 0))
         samples = np.asarray(samples)
         nlls = metropolis.nll_history_to_f64(nlls)
 
