@@ -316,3 +316,117 @@ def run_checkpointed_hmc(
 
     return LikelihoodSpace.from_arrays(
         state["kept"], state["kept_nll"], hmc.parameter_names)
+
+
+def run_checkpointed_tempered(
+    sampler,
+    data: np.ndarray,
+    nsteps: int,
+    burnin_fraction: float = 0.1,
+    segment_steps: int = 5000,
+    checkpoint_path: str = "chain.ckpt.npz",
+    debug_mode: bool = False,
+    seed: int = 0,
+    verbose: bool = False,
+) -> LikelihoodSpace:
+    """Mid-run checkpointing for the parallel-tempered sampler.
+
+    ``sampler`` is a :class:`sxmc_tpu.mcmc.tempered.TemperedMCMC`.  The
+    persisted state is the full ladder (per-replica params, compensated
+    NLL pairs, widths) plus the global step index — the index drives
+    the swap cadence and pairing parity, so a resumed run swaps on
+    exactly the schedule the uninterrupted run would have.
+    """
+    from sxmc_tpu.mcmc import tempered as tempered_mod
+
+    mcmc = sampler.mcmc
+    betas = tuple(float(b) for b in sampler.betas)
+    ntemps = len(betas)
+    sampler.stack.set_data(np.asarray(data, np.float32))
+    rb = sampler.stack._read_bins
+    dd = sampler.stack.device_data
+    burnin_steps = int(nsteps * burnin_fraction)
+    npar = mcmc.nparameters
+
+    state = load_chain_state(checkpoint_path)
+    if state is None:
+        params = np.broadcast_to(mcmc.parameter_means,
+                                 (ntemps, npar)).copy()
+        width = np.broadcast_to(mcmc.initial_jump_widths(),
+                                (ntemps, npar)).copy()
+        import jax.numpy as jnp_
+
+        batch_nll = metropolis._chain_nll_batch(mcmc, rb, dd, ntemps)
+        hi, lo = batch_nll(jnp_.asarray(params))
+        state = {
+            "params": params.astype(np.float32),
+            "nll_hi": np.asarray(hi, np.float32),
+            "nll_lo": np.asarray(lo, np.float32),
+            "width": width.astype(np.float32),
+            "key": np.asarray(jax.random.PRNGKey(seed)),
+            "step": np.int64(0),
+            "kept": np.zeros((0, npar), np.float32),
+            "kept_nll": np.zeros((0,), np.float64),
+            "phase_samples": np.zeros((0, npar), np.float32),
+        }
+    total = int(state["step"])
+
+    phase_bounds = [burnin_steps, 2 * burnin_steps, nsteps] \
+        if burnin_steps > 0 else [nsteps]
+    sf = metropolis.HAARIO / max(mcmc.nfloat, 1)
+
+    while total < nsteps:
+        bound = next(b for b in phase_bounds if total < b)
+        n = min(segment_steps, bound - total)
+
+        key = jnp.asarray(state["key"], jnp.uint32)
+        key, seg_key = jax.random.split(key)
+        params, nll, istep, samples, nlls, acc, swap = \
+            tempered_mod.tempered_segment(
+                mcmc, jnp.asarray(state["params"]),
+                (jnp.asarray(state["nll_hi"]),
+                 jnp.asarray(state["nll_lo"])),
+                jnp.asarray(state["width"]),
+                jnp.int32(total), rb, dd, seg_key, n, debug_mode,
+                betas, sampler.swap_every)
+
+        samples = np.asarray(samples)
+        nlls = metropolis.nll_history_to_f64(nlls)
+        in_burnin = bound != nsteps
+        if in_burnin:
+            state["phase_samples"] = np.concatenate(
+                [state["phase_samples"], samples])
+            if debug_mode:
+                state["kept"] = np.concatenate([state["kept"], samples])
+                state["kept_nll"] = np.concatenate(
+                    [state["kept_nll"], nlls])
+        else:
+            state["kept"] = np.concatenate([state["kept"], samples])
+            state["kept_nll"] = np.concatenate([state["kept_nll"], nlls])
+
+        total += n
+        width = np.asarray(state["width"])
+        if in_burnin and total == bound:
+            # Cold-chain RMS retune shared down the ladder (same rule
+            # as _run_tempered).
+            rms = state["phase_samples"].std(axis=0)
+            new = np.where(rms > 0, sf * rms, width)
+            width = np.where(mcmc.parameter_fixed[None, :], -1.0,
+                             new).astype(np.float32)
+            state["phase_samples"] = np.zeros((0, npar), np.float32)
+
+        state.update({
+            "params": np.asarray(params, np.float32),
+            "nll_hi": np.asarray(nll[0], np.float32),
+            "nll_lo": np.asarray(nll[1], np.float32),
+            "width": width, "key": np.asarray(key),
+            "step": np.int64(total),
+        })
+        save_chain_state(checkpoint_path, state)
+        if verbose:
+            print(f"checkpoint(tempered): step {total}/{nsteps} "
+                  f"(accept {float(acc):.2f}, swap {float(swap):.2f}) "
+                  f"-> {checkpoint_path}")
+
+    return LikelihoodSpace.from_arrays(
+        state["kept"], state["kept_nll"], mcmc.parameter_names)

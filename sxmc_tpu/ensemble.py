@@ -195,7 +195,7 @@ def run_ensemble(
 
             sw = Stopwatch()
             if checkpoint_steps > 0 and sampler in (
-                    "metropolis", "hmc", "nuts", "stretch"):
+                    "metropolis", "hmc", "nuts", "stretch", "tempered"):
                 from sxmc_tpu import checkpoint as ckpt_mod
 
                 ckpt = os.path.join(
@@ -211,6 +211,13 @@ def run_ensemble(
                         verbose=verbose)
                 elif sampler == "stretch":
                     ls = ckpt_mod.run_checkpointed_stretch(
+                        mcmc, samples_data, fc.nsteps,
+                        fc.burnin_fraction,
+                        segment_steps=checkpoint_steps,
+                        checkpoint_path=ckpt, debug_mode=fc.debug_mode,
+                        seed=fc.seed + i, verbose=verbose)
+                elif sampler == "tempered":
+                    ls = ckpt_mod.run_checkpointed_tempered(
                         mcmc, samples_data, fc.nsteps,
                         fc.burnin_fraction,
                         segment_steps=checkpoint_steps,

@@ -106,24 +106,13 @@ class TemperedMCMC:
             self.parameter_names)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("mcmc", "nsteps", "burnin_steps", "debug_mode",
-                     "betas", "swap_every"))
-def _run_tempered(mcmc: MCMC, key, read_bins, device_data, nsteps: int,
-                  burnin_steps: int, debug_mode: bool, betas,
-                  swap_every: int):
-    """Lock-step tempered walk; returns cold-chain history.
-
-    History: (samples, (nll_hi, nll_lo), accept, swap_rate) with
-    samples/nlls the COLD replica's post-step state per recorded step.
-    """
+def _make_tempered_step(mcmc: MCMC, read_bins, device_data,
+                        debug_mode: bool, betas, swap_every: int):
+    """Step closure over carry (params, (hi, lo), width, istep)."""
     ntemps = len(betas)
     beta = jnp.asarray(betas, jnp.float32)
     batch_nll = metropolis._chain_nll_batch(mcmc, read_bins,
                                             device_data, ntemps)
-    fixed = jnp.asarray(mcmc.parameter_fixed)
-    sf = HAARIO / max(mcmc.nfloat, 1)
 
     # Precomputed swap partners for the two alternating pairings
     # (numpy: embeds as constants).  Pairing 0: (0,1)(2,3)...; pairing
@@ -188,6 +177,53 @@ def _run_tempered(mcmc: MCMC, key, read_bins, device_data, nsteps: int,
         ks = jax.random.split(k, n * (2 * ntemps + 1))
         ks = ks.reshape(n, 2 * ntemps + 1, -1)
         return ks[:, :2 * ntemps].reshape(n, ntemps, 2, -1), ks[:, -1]
+
+    return step, phase_keys, batch_nll
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mcmc", "nsteps", "debug_mode", "betas",
+                     "swap_every"))
+def tempered_segment(mcmc: MCMC, params, cur_nll, width, istep,
+                     read_bins, device_data, key, nsteps: int,
+                     debug_mode: bool, betas, swap_every: int):
+    """Run one fixed-width tempered segment from explicit ladder state.
+
+    Mirrors metropolis.run_segment for checkpointing: the full carry
+    (per-replica params, compensated NLL pairs, widths, global step
+    index — the step index drives the swap cadence and pairing parity)
+    is explicit, so a killed run resumes exactly.
+    Returns (params, nll, istep, cold samples, cold nlls, accept,
+    swap_rate).
+    """
+    step, phase_keys, _ = _make_tempered_step(
+        mcmc, read_bins, device_data, debug_mode, betas, swap_every)
+    carry = (params, cur_nll, width, istep)
+    carry, (samples, nlls, accepts, (fr, att)) = jax.lax.scan(
+        step, carry, phase_keys(key, nsteps))
+    swap_rate = fr.sum() / jnp.maximum(att.sum(), 1.0)
+    return (carry[0], carry[1], carry[3], samples, nlls,
+            accepts.mean(), swap_rate)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mcmc", "nsteps", "burnin_steps", "debug_mode",
+                     "betas", "swap_every"))
+def _run_tempered(mcmc: MCMC, key, read_bins, device_data, nsteps: int,
+                  burnin_steps: int, debug_mode: bool, betas,
+                  swap_every: int):
+    """Lock-step tempered walk; returns cold-chain history.
+
+    History: (samples, (nll_hi, nll_lo), accept, swap_rate) with
+    samples/nlls the COLD replica's post-step state per recorded step.
+    """
+    ntemps = len(betas)
+    fixed = jnp.asarray(mcmc.parameter_fixed)
+    sf = HAARIO / max(mcmc.nfloat, 1)
+    step, phase_keys, batch_nll = _make_tempered_step(
+        mcmc, read_bins, device_data, debug_mode, betas, swap_every)
 
     def run_phase(carry, k, n):
         return jax.lax.scan(step, carry, phase_keys(k, n))

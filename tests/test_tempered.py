@@ -125,6 +125,52 @@ class TestTemperedBimodal:
         # Swaps actually happen.
         assert temp.last_swap_rate > 0.05
 
+    def test_checkpoint_kill_and_resume(self, tmp_path):
+        from sxmc_tpu import checkpoint as ckpt_mod
+
+        obs, systs, sources, signals = unimodal_fixture()
+        data = make_fake_dataset(jax.random.PRNGKey(4), signals, systs,
+                                 [obs], poisson=False)
+        temp = TemperedMCMC(sources, signals, systs, [obs], ntemps=3,
+                            tmax=8.0, swap_every=4)
+        path = str(tmp_path / "t.ckpt.npz")
+
+        ls_full = ckpt_mod.run_checkpointed_tempered(
+            temp, data, 600, 0.1, segment_steps=200,
+            checkpoint_path=path, seed=9)
+        import os
+
+        os.remove(path)
+
+        class Stop(Exception):
+            pass
+
+        orig = ckpt_mod.save_chain_state
+        calls = {"n": 0}
+
+        def bomb(p, s):
+            orig(p, s)
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise Stop()
+
+        ckpt_mod.save_chain_state = bomb
+        try:
+            ckpt_mod.run_checkpointed_tempered(
+                temp, data, 600, 0.1, segment_steps=200,
+                checkpoint_path=path, seed=9)
+            raise AssertionError("expected Stop")
+        except Stop:
+            pass
+        finally:
+            ckpt_mod.save_chain_state = orig
+
+        ls_res = ckpt_mod.run_checkpointed_tempered(
+            temp, data, 600, 0.1, segment_steps=200,
+            checkpoint_path=path, seed=9)
+        np.testing.assert_allclose(ls_res.samples, ls_full.samples,
+                                   rtol=1e-6)
+
     def test_plain_chain_gets_trapped(self):
         """The same budget of plain Metropolis steps stays in one mode
         (this is WHY tempering exists; if this ever starts passing both
