@@ -191,6 +191,27 @@ class TestEndToEnd:
         assert res["cls_limit"] > 0.0
         assert len(res["r_grid"]) == len(res["cls_values"]) == 8
 
+    def test_cli_gof_and_blocked(self, mc_files, tmp_path, capsys):
+        """--gof reports a saturated-chi2 p-value (and logs it to the
+        metrics JSONL); --rate-substeps engages the blocked sampler."""
+        conf = example_config(mc_files, nsteps=2000)
+        cfg_file = tmp_path / "fit.json"
+        cfg_file.write_text(json.dumps(conf))
+        outdir = tmp_path / "out"
+
+        from sxmc_tpu.cli import main
+        assert main([str(cfg_file), str(outdir), "--gof", "30",
+                     "--rate-substeps", "3"]) == 0
+        out = capsys.readouterr().out
+        assert "Rate substeps (blocked within-Gibbs): 3" in out
+        assert "Goodness of fit" in out
+        assert "chi2/ndof" in out
+        metrics = (outdir / "lspace_metrics.jsonl").read_text()
+        events = [json.loads(ln) for ln in metrics.splitlines()]
+        gof = [e for e in events if e.get("event") == "experiment_gof"]
+        assert gof and gof[0]["ndof"] > 0
+        assert 0.0 <= gof[0]["p_toys"] <= 1.0
+
     def test_resume_from_samples(self, mc_files, tmp_path):
         conf = example_config(mc_files, nsteps=2000)
         cfg_file = tmp_path / "fit.json"
