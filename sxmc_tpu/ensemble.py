@@ -234,7 +234,9 @@ def run_ensemble(
                 if os.path.exists(ckpt):
                     os.remove(ckpt)  # completed; resume file not needed
             else:
-                extra = ({"rate_substeps": fc.rate_substeps}
+                extra = ({"rate_substeps": fc.rate_substeps,
+                          "proposal": getattr(fc, "proposal",
+                                              "diagonal")}
                          if sampler == "metropolis" else {})
                 ls = mcmc(samples_data, fc.nsteps, fc.burnin_fraction,
                           debug_mode=fc.debug_mode, key=exp_key,

@@ -71,6 +71,10 @@ class FitConfig:
     # the PDF rebuild that dominates step cost).  0 = joint updates
     # (reference semantics, mcmc.cpp:264-271).
     rate_substeps: int = 0
+    # Metropolis proposal geometry: "diagonal" (per-parameter widths,
+    # reference semantics) or "full_cov" (Haario full-covariance
+    # adaptation — walks along anticorrelated rate ridges).
+    proposal: str = "diagonal"
     # Plot export formats (the reference saves .pdf/.png/.tex/.C/.root,
     # plots.cpp:130-140; matplotlib covers png/pdf/svg/eps).
     plot_formats: tuple = ("png",)
@@ -123,6 +127,7 @@ class FitConfig:
             samples=str(fit.get("samples", "")),
             nchains=int(fit.get("nchains", 1)),
             rate_substeps=int(fit.get("rate_substeps", 0)),
+            proposal=str(fit.get("proposal", "diagonal")),
             plot_formats=tuple(fit.get("plot_formats", ["png"])),
             output_format=str(fit.get("output_format", "hdf5")),
         )

@@ -149,6 +149,7 @@ class MCMC:
         key: Optional[jax.Array] = None,
         pool_adaptation: bool = False,
         rate_substeps: int = 0,
+        proposal: str = "diagonal",
     ) -> LikelihoodSpace:
         """Run the random walk; returns the likelihood space.
 
@@ -167,6 +168,12 @@ class MCMC:
         LUT at zero rebuild cost.  Same posterior, ~(1 + substeps) x
         more parameter updates per rebuild.  ``nsteps`` then counts
         recorded cycles.
+
+        ``proposal="full_cov"`` switches to Haario full-covariance
+        adaptive proposals (correlated Gaussian moves from the burn-in
+        sample covariance) — dramatically better mixing on
+        anticorrelated rate posteriors; incompatible with
+        ``rate_substeps`` and ``pool_adaptation``.
         """
         self.stack.set_data(np.asarray(data, np.float32))
         burnin_steps = int(nsteps * burnin_fraction)
@@ -175,7 +182,15 @@ class MCMC:
             key = jax.random.PRNGKey(seed)
         chain_keys = jax.random.split(key, nchains)
 
-        if pool_adaptation and nchains > 1:
+        if proposal not in ("diagonal", "full_cov"):
+            raise ValueError(f"unknown proposal {proposal!r}")
+        if proposal == "full_cov":
+            if rate_substeps or pool_adaptation:
+                raise ValueError(
+                    "proposal='full_cov' is incompatible with "
+                    "rate_substeps / pool_adaptation")
+            runner = _run_chains_fullcov
+        elif pool_adaptation and nchains > 1:
             runner = _run_chains_pooled
         elif nchains > 1:
             # Lock-step chains: the nchains PDF rebuilds of each step
@@ -304,6 +319,123 @@ def _make_step(mcmc: MCMC, read_bins, device_data, debug_mode: bool):
                 (params, (cur_hi, cur_lo), accept.astype(jnp.float32)))
 
     return step
+
+
+def _make_step_cov(mcmc: MCMC, read_bins, device_data,
+                   debug_mode: bool):
+    """Metropolis step with a full-covariance proposal.
+
+    The carry holds a lower-triangular ``scale_tril`` instead of the
+    per-parameter width vector: proposals are ``params + L @ z`` with
+    ``z ~ N(0, I)``, i.e. correlated Gaussian moves whose covariance is
+    ``L L^T``.  Rows of fixed parameters are zero, which pins them
+    exactly.  Axis-aligned proposals (the reference's only mode,
+    nll_kernels.cpp:30-53) random-walk across anticorrelated rate
+    ridges in tiny steps; Haario-scaled full-covariance proposals walk
+    ALONG them.
+    """
+    chain_nll = _chain_nll(mcmc, read_bins, device_data)
+
+    def step(carry, step_key):
+        params, (cur_hi, cur_lo), tril = carry
+        k_prop, k_accept = jax.random.split(step_key)
+        z = jax.random.normal(k_prop, params.shape)
+        proposed = params + tril @ z
+        prop_hi, prop_lo = chain_nll(proposed)
+        u = jax.random.uniform(k_accept, ())
+        delta = df_diff(cur_hi, cur_lo, prop_hi, prop_lo)
+        accept = debug_mode | (delta > 0) | (u <= jnp.exp(delta))
+        params = jnp.where(accept, proposed, params)
+        cur_hi = jnp.where(accept, prop_hi, cur_hi)
+        cur_lo = jnp.where(accept, prop_lo, cur_lo)
+        return ((params, (cur_hi, cur_lo), tril),
+                (params, (cur_hi, cur_lo), accept.astype(jnp.float32)))
+
+    return step
+
+
+def retune_scale_tril(mcmc: MCMC, tril, phase_samples):
+    """Haario full-covariance retune: L = chol((2.4^2/d) * cov + jitter).
+
+    Fixed parameters get zero rows (pinned); a degenerate covariance
+    (parameter stuck during the phase) falls back to the previous L.
+    """
+    free = jnp.asarray(~mcmc.parameter_fixed)
+    d = max(mcmc.nfloat, 1)
+    x = phase_samples
+    n = x.shape[0]
+    mu = x.mean(axis=0)
+    xc = (x - mu) * free[None, :]
+    cov = (xc.T @ xc) / jnp.float32(max(n - 1, 1))
+    # Unit diagonal on fixed entries keeps the Cholesky well-posed;
+    # their L rows are zeroed below.
+    fixed_diag = jnp.diag(jnp.where(free, 0.0, 1.0))
+    jitter = 1e-6 * jnp.maximum(jnp.max(jnp.diag(cov)), 1e-20)
+    eye = jnp.eye(cov.shape[0], dtype=cov.dtype)
+    scaled = (HAARIO / d) * cov + jitter * eye * free[None, :] \
+        + fixed_diag
+    new = jnp.linalg.cholesky(scaled)
+    new = jnp.where(jnp.isnan(new).any(), tril, new)
+    return new * free[:, None]
+
+
+def _initial_scale_tril(mcmc: MCMC) -> jnp.ndarray:
+    w = jnp.asarray(mcmc.initial_jump_widths())
+    return jnp.diag(jnp.maximum(w, 0.0))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mcmc", "nsteps", "burnin_steps", "debug_mode"))
+def _run_chains_fullcov(mcmc: MCMC, chain_keys, read_bins, device_data,
+                        nsteps: int, burnin_steps: int,
+                        debug_mode: bool, rate_substeps: int = 0):
+    """Vmapped chains with full-covariance adaptive proposals.
+
+    Phase structure matches :func:`_run_single_chain`: the first
+    burn-in phase walks with the diagonal initial widths (no covariance
+    estimate exists yet), each retune replaces the proposal with the
+    Haario-scaled sample covariance of the finished phase.
+    ``rate_substeps`` is accepted for signature parity and must be 0
+    (blocked updates are a different proposal structure).
+    """
+    del rate_substeps
+
+    def run_one(key):
+        step = _make_step_cov(mcmc, read_bins, device_data, debug_mode)
+
+        def run_phase(carry, phase_key, n):
+            keys = jax.random.split(phase_key, n)
+            return jax.lax.scan(step, carry, keys)
+
+        params0, nll0, _ = initial_state(mcmc, read_bins, device_data)
+        carry = (params0, nll0, _initial_scale_tril(mcmc))
+        k1, k2, k3 = jax.random.split(key, 3)
+
+        outs = []
+        if burnin_steps > 0:
+            carry, (s1, n1, a1) = run_phase(carry, k1, burnin_steps)
+            p, c, t = carry
+            carry = (p, c, retune_scale_tril(mcmc, t, s1))
+            carry, (s2, n2, a2) = run_phase(carry, k2, burnin_steps)
+            p, c, t = carry
+            carry = (p, c, retune_scale_tril(mcmc, t, s2))
+            if debug_mode:
+                outs += [(s1, n1, a1), (s2, n2, a2)]
+
+        remaining = max(nsteps - (2 * burnin_steps if burnin_steps > 0
+                                  else 0), 0)
+        if remaining > 0:
+            carry, (s3, n3, a3) = run_phase(carry, k3, remaining)
+            outs.append((s3, n3, a3))
+
+        samples = jnp.concatenate([o[0] for o in outs], axis=0)
+        nlls = (jnp.concatenate([o[1][0] for o in outs], axis=0),
+                jnp.concatenate([o[1][1] for o in outs], axis=0))
+        accepts = jnp.concatenate([o[2] for o in outs], axis=0)
+        return samples, nlls, accepts.mean()
+
+    return jax.vmap(run_one)(chain_keys)
 
 
 def _blocked_enabled(mcmc: MCMC, rate_substeps: int) -> bool:
