@@ -35,6 +35,16 @@ def load_chain_state(path: str) -> Optional[dict]:
         return {k: f[k] for k in f.keys()}
 
 
+def _check_burnin(nsteps: int, burnin_steps: int,
+                  debug_mode: bool) -> None:
+    if burnin_steps > 0 and nsteps <= 2 * burnin_steps \
+            and not debug_mode:
+        raise ValueError(
+            f"nsteps={nsteps} leaves no post-burn-in samples (two "
+            f"burn-in phases of {burnin_steps}); lower burnin_fraction "
+            f"below 0.5 or raise nsteps")
+
+
 def run_checkpointed(
     mcmc: MCMC,
     data: np.ndarray,
@@ -46,6 +56,7 @@ def run_checkpointed(
     seed: int = 0,
     verbose: bool = False,
     rate_substeps: int = 0,
+    proposal: str = "diagonal",
 ) -> LikelihoodSpace:
     """Run a single chain with periodic state checkpoints.
 
@@ -54,17 +65,27 @@ def run_checkpointed(
     the main phase; only main-phase samples are kept (unless debug).
     ``rate_substeps`` passes through to the blocked stepper; its
     (lut, norms) extras derive from the params, so checkpoint files
-    are identical either way.
+    are identical either way.  ``proposal="full_cov"`` checkpoints the
+    Haario ``scale_tril`` matrix in place of the width vector.
     """
+    if proposal not in ("diagonal", "full_cov"):
+        raise ValueError(f"unknown proposal {proposal!r}")
+    full_cov = proposal == "full_cov"
+    if full_cov and rate_substeps:
+        raise ValueError("proposal='full_cov' is incompatible with "
+                         "rate_substeps")
     mcmc.stack.set_data(np.asarray(data, np.float32))
     rb = mcmc.stack._read_bins
     dd = mcmc.stack.device_data
     burnin_steps = int(nsteps * burnin_fraction)
+    _check_burnin(nsteps, burnin_steps, debug_mode)
 
     state = load_chain_state(checkpoint_path)
     if state is None:
         params, (nll_hi, nll_lo), width = metropolis.initial_state(
             mcmc, rb, dd)
+        if full_cov:
+            width = metropolis._initial_scale_tril(mcmc)
         state = {
             "params": np.asarray(params),
             "nll_hi": np.float32(nll_hi), "nll_lo": np.float32(nll_lo),
@@ -87,11 +108,19 @@ def run_checkpointed(
 
         key = jnp.asarray(state["key"], jnp.uint32)
         key, seg_key = jax.random.split(key)
-        params, nll, samples, nlls, acc = metropolis.run_segment(
-            mcmc, jnp.asarray(state["params"]),
-            (jnp.asarray(state["nll_hi"]), jnp.asarray(state["nll_lo"])),
-            jnp.asarray(state["width"]),
-            rb, dd, seg_key, n, debug_mode, rate_substeps)
+        nll_pair = (jnp.asarray(state["nll_hi"]),
+                    jnp.asarray(state["nll_lo"]))
+        if full_cov:
+            params, nll, samples, nlls, acc = \
+                metropolis.run_segment_cov(
+                    mcmc, jnp.asarray(state["params"]), nll_pair,
+                    jnp.asarray(state["width"]), rb, dd, seg_key, n,
+                    debug_mode)
+        else:
+            params, nll, samples, nlls, acc = metropolis.run_segment(
+                mcmc, jnp.asarray(state["params"]), nll_pair,
+                jnp.asarray(state["width"]),
+                rb, dd, seg_key, n, debug_mode, rate_substeps)
 
         samples = np.asarray(samples)
         nlls = metropolis.nll_history_to_f64(nlls)
@@ -110,9 +139,12 @@ def run_checkpointed(
         total += n
         width = np.asarray(state["width"])
         if in_burnin and total == bound:
-            # Phase end: retune widths from the phase RMS and reset
-            # (mcmc.cpp:273-311).
-            width = np.asarray(metropolis.retune_width(
+            # Phase end: retune from the phase samples and reset
+            # (mcmc.cpp:273-311) — RMS widths, or the Haario
+            # covariance Cholesky in full_cov mode.
+            retuner = (metropolis.retune_scale_tril if full_cov
+                       else metropolis.retune_width)
+            width = np.asarray(retuner(
                 mcmc, jnp.asarray(width),
                 jnp.asarray(state["phase_samples"])))
             state["phase_samples"] = np.zeros(
@@ -346,6 +378,7 @@ def run_checkpointed_tempered(
     rb = sampler.stack._read_bins
     dd = sampler.stack.device_data
     burnin_steps = int(nsteps * burnin_fraction)
+    _check_burnin(nsteps, burnin_steps, debug_mode)
     npar = mcmc.nparameters
 
     state = load_chain_state(checkpoint_path)
@@ -354,10 +387,8 @@ def run_checkpointed_tempered(
                                  (ntemps, npar)).copy()
         width = np.broadcast_to(mcmc.initial_jump_widths(),
                                 (ntemps, npar)).copy()
-        import jax.numpy as jnp_
-
         batch_nll = metropolis._chain_nll_batch(mcmc, rb, dd, ntemps)
-        hi, lo = batch_nll(jnp_.asarray(params))
+        hi, lo = batch_nll(jnp.asarray(params))
         state = {
             "params": params.astype(np.float32),
             "nll_hi": np.asarray(hi, np.float32),

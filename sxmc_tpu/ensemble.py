@@ -188,7 +188,9 @@ def run_ensemble(
 
             if sampler == "mle":
                 limit = _run_mle_experiment(
-                    mcmc, fc, samples_data, output_path, i, log)
+                    mcmc, fc, samples_data, output_path, i, log,
+                    gof_toys=gof_toys, metrics=metrics,
+                    gof_key=jax.random.fold_in(exp_key, 11))
                 if limit is not None:
                     limits.append(limit)
                 return
@@ -230,7 +232,8 @@ def run_ensemble(
                         segment_steps=checkpoint_steps,
                         checkpoint_path=ckpt, debug_mode=fc.debug_mode,
                         seed=fc.seed + i, verbose=verbose,
-                        rate_substeps=fc.rate_substeps)
+                        rate_substeps=fc.rate_substeps,
+                        proposal=getattr(fc, "proposal", "diagonal"))
                 if os.path.exists(ckpt):
                     os.remove(ckpt)  # completed; resume file not needed
             else:
@@ -259,8 +262,12 @@ def run_ensemble(
         # Convergence diagnostics (absent from the reference).
         from sxmc_tpu.stats.diagnostics import summarize
 
+        # The tempered sampler returns ONE cold chain regardless of
+        # fc.nchains; splitting it into pseudo-chains would corrupt
+        # R-hat/ESS.
+        diag_nchains = 1 if sampler == "tempered" else max(fc.nchains, 1)
         diag = summarize(ls.samples, [n for n in ls.names],
-                         nchains=max(fc.nchains, 1))
+                         nchains=diag_nchains)
         log("-- Diagnostics --")
         for pname, d in diag.items():
             log(f" {pname}: ESS={d['ess']:.0f} R-hat={d['rhat']:.3f}")
@@ -271,7 +278,8 @@ def run_ensemble(
             ess={n: d["ess"] for n, d in diag.items()},
             rhat={n: d["rhat"] for n, d in diag.items()})
 
-        if gof_toys >= 0 and getattr(mcmc, "parameter_names", None):
+        if gof_toys >= 0 and samples_data is not None \
+                and getattr(mcmc, "parameter_names", None):
             from sxmc_tpu.stats.gof import goodness_of_fit
 
             bf = ls.get_best_fit()
@@ -411,7 +419,8 @@ def _run_hypotest(ht, fc: FitConfig, data, output_path: str, index: int,
 
 
 def _run_mle_experiment(mle, fc: FitConfig, samples_data, output_path: str,
-                        index: int, log) -> Optional[float]:
+                        index: int, log, gof_toys: int = -1,
+                        metrics=None, gof_key=None) -> Optional[float]:
     """One gradient-MLE experiment: fit, profile the signal, plot.
 
     Returns the one-sided profile-likelihood upper limit on the signal
@@ -422,6 +431,22 @@ def _run_mle_experiment(mle, fc: FitConfig, samples_data, output_path: str,
 
     result = mle.fit(samples_data)
     log(str(result))
+
+    if gof_toys >= 0:
+        from sxmc_tpu.stats.gof import goodness_of_fit
+
+        best_params = np.asarray(
+            [result.value(n) for n in mle.parameter_names], np.float32)
+        gof = goodness_of_fit(
+            fc.sources, fc.signals, fc.systematics, fc.observables,
+            samples_data, best_params, ntoys=max(gof_toys, 0),
+            key=gof_key, stack=mle.stack)
+        log(f"-- Goodness of fit --\n {gof}")
+        if metrics is not None:
+            metrics.log("experiment_gof", experiment=index,
+                        chi2=gof.chi2, ndof=gof.ndof,
+                        p_asymptotic=gof.p_asymptotic,
+                        p_toys=gof.p_toys)
 
     best_fit = result.to_intervals(fc.confidence)
     limit = None

@@ -177,6 +177,12 @@ class MCMC:
         """
         self.stack.set_data(np.asarray(data, np.float32))
         burnin_steps = int(nsteps * burnin_fraction)
+        if burnin_steps > 0 and nsteps <= 2 * burnin_steps \
+                and not debug_mode:
+            raise ValueError(
+                f"nsteps={nsteps} leaves no post-burn-in samples "
+                f"(two burn-in phases of {burnin_steps}); lower "
+                f"burnin_fraction below 0.5 or raise nsteps")
 
         if key is None:
             key = jax.random.PRNGKey(seed)
@@ -375,13 +381,75 @@ def retune_scale_tril(mcmc: MCMC, tril, phase_samples):
     scaled = (HAARIO / d) * cov + jitter * eye * free[None, :] \
         + fixed_diag
     new = jnp.linalg.cholesky(scaled)
-    new = jnp.where(jnp.isnan(new).any(), tril, new)
-    return new * free[:, None]
+    # Degenerate phase (no accepted move -> cov == 0, like the
+    # diagonal retune's rms == 0 case) or a failed factorization keep
+    # the previous proposal instead of freezing the chain.
+    bad = jnp.isnan(new).any() | (jnp.max(jnp.diag(cov)) <= 0)
+    new = jnp.where(bad, tril, new * free[:, None])
+    return new
 
 
 def _initial_scale_tril(mcmc: MCMC) -> jnp.ndarray:
     w = jnp.asarray(mcmc.initial_jump_widths())
     return jnp.diag(jnp.maximum(w, 0.0))
+
+
+def _run_single_chain_fullcov(mcmc: MCMC, key, read_bins, device_data,
+                              *, nsteps: int, burnin_steps: int,
+                              debug_mode: bool):
+    """One chain with full-covariance adaptive proposals (traced).
+
+    Phase structure matches :func:`_run_single_chain`: the first
+    burn-in phase walks with the diagonal initial widths (no covariance
+    estimate exists yet), each retune replaces the proposal with the
+    Haario-scaled sample covariance of the finished phase.
+    """
+    step = _make_step_cov(mcmc, read_bins, device_data, debug_mode)
+
+    def run_phase(carry, phase_key, n):
+        keys = jax.random.split(phase_key, n)
+        return jax.lax.scan(step, carry, keys)
+
+    params0, nll0, _ = initial_state(mcmc, read_bins, device_data)
+    carry = (params0, nll0, _initial_scale_tril(mcmc))
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    outs = []
+    if burnin_steps > 0:
+        carry, (s1, n1, a1) = run_phase(carry, k1, burnin_steps)
+        p, c, t = carry
+        carry = (p, c, retune_scale_tril(mcmc, t, s1))
+        carry, (s2, n2, a2) = run_phase(carry, k2, burnin_steps)
+        p, c, t = carry
+        carry = (p, c, retune_scale_tril(mcmc, t, s2))
+        if debug_mode:
+            outs += [(s1, n1, a1), (s2, n2, a2)]
+
+    remaining = max(nsteps - (2 * burnin_steps if burnin_steps > 0
+                              else 0), 0)
+    if remaining > 0:
+        carry, (s3, n3, a3) = run_phase(carry, k3, remaining)
+        outs.append((s3, n3, a3))
+
+    samples = jnp.concatenate([o[0] for o in outs], axis=0)
+    nlls = (jnp.concatenate([o[1][0] for o in outs], axis=0),
+            jnp.concatenate([o[1][1] for o in outs], axis=0))
+    accepts = jnp.concatenate([o[2] for o in outs], axis=0)
+    return samples, nlls, accepts.mean()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mcmc", "nsteps", "debug_mode"))
+def run_segment_cov(mcmc: MCMC, params, cur_nll, tril, read_bins,
+                    device_data, key, nsteps: int,
+                    debug_mode: bool = False):
+    """Fixed-proposal full-covariance segment (checkpointing building
+    block, the `scale_tril` analog of :func:`run_segment`)."""
+    step = _make_step_cov(mcmc, read_bins, device_data, debug_mode)
+    keys = jax.random.split(key, nsteps)
+    carry, (samples, nlls, accepts) = jax.lax.scan(
+        step, (params, cur_nll, tril), keys)
+    return carry[0], carry[1], samples, nlls, accepts.mean()
 
 
 @functools.partial(
@@ -390,52 +458,16 @@ def _initial_scale_tril(mcmc: MCMC) -> jnp.ndarray:
 def _run_chains_fullcov(mcmc: MCMC, chain_keys, read_bins, device_data,
                         nsteps: int, burnin_steps: int,
                         debug_mode: bool, rate_substeps: int = 0):
-    """Vmapped chains with full-covariance adaptive proposals.
-
-    Phase structure matches :func:`_run_single_chain`: the first
-    burn-in phase walks with the diagonal initial widths (no covariance
-    estimate exists yet), each retune replaces the proposal with the
-    Haario-scaled sample covariance of the finished phase.
-    ``rate_substeps`` is accepted for signature parity and must be 0
-    (blocked updates are a different proposal structure).
-    """
+    """Vmapped full-covariance chains (see
+    :func:`_run_single_chain_fullcov`).  ``rate_substeps`` is accepted
+    for signature parity and must be 0 (blocked updates are a
+    different proposal structure)."""
     del rate_substeps
-
-    def run_one(key):
-        step = _make_step_cov(mcmc, read_bins, device_data, debug_mode)
-
-        def run_phase(carry, phase_key, n):
-            keys = jax.random.split(phase_key, n)
-            return jax.lax.scan(step, carry, keys)
-
-        params0, nll0, _ = initial_state(mcmc, read_bins, device_data)
-        carry = (params0, nll0, _initial_scale_tril(mcmc))
-        k1, k2, k3 = jax.random.split(key, 3)
-
-        outs = []
-        if burnin_steps > 0:
-            carry, (s1, n1, a1) = run_phase(carry, k1, burnin_steps)
-            p, c, t = carry
-            carry = (p, c, retune_scale_tril(mcmc, t, s1))
-            carry, (s2, n2, a2) = run_phase(carry, k2, burnin_steps)
-            p, c, t = carry
-            carry = (p, c, retune_scale_tril(mcmc, t, s2))
-            if debug_mode:
-                outs += [(s1, n1, a1), (s2, n2, a2)]
-
-        remaining = max(nsteps - (2 * burnin_steps if burnin_steps > 0
-                                  else 0), 0)
-        if remaining > 0:
-            carry, (s3, n3, a3) = run_phase(carry, k3, remaining)
-            outs.append((s3, n3, a3))
-
-        samples = jnp.concatenate([o[0] for o in outs], axis=0)
-        nlls = (jnp.concatenate([o[1][0] for o in outs], axis=0),
-                jnp.concatenate([o[1][1] for o in outs], axis=0))
-        accepts = jnp.concatenate([o[2] for o in outs], axis=0)
-        return samples, nlls, accepts.mean()
-
-    return jax.vmap(run_one)(chain_keys)
+    run = functools.partial(
+        _run_single_chain_fullcov, mcmc, nsteps=nsteps,
+        burnin_steps=burnin_steps, debug_mode=debug_mode)
+    return jax.vmap(run, in_axes=(0, None, None))(
+        chain_keys, read_bins, device_data)
 
 
 def _blocked_enabled(mcmc: MCMC, rate_substeps: int) -> bool:

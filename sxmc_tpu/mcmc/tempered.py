@@ -89,6 +89,12 @@ class TemperedMCMC:
     ) -> LikelihoodSpace:
         self.stack.set_data(np.asarray(data, np.float32))
         burnin_steps = int(nsteps * burnin_fraction)
+        if burnin_steps > 0 and nsteps <= 2 * burnin_steps \
+                and not debug_mode:
+            raise ValueError(
+                f"nsteps={nsteps} leaves no post-burn-in samples "
+                f"(two burn-in phases of {burnin_steps}); lower "
+                f"burnin_fraction below 0.5 or raise nsteps")
         if key is None:
             key = jax.random.PRNGKey(seed)
 
@@ -122,6 +128,11 @@ def _make_tempered_step(mcmc: MCMC, read_bins, device_data,
     p0[p0 >= ntemps] = idx[p0 >= ntemps]
     p1 = np.where(idx == 0, 0, ((idx - 1) ^ 1) + 1)
     p1[p1 >= ntemps] = idx[p1 >= ntemps]
+    if ntemps == 2:
+        # Only one adjacent pair exists: the odd pairing would attempt
+        # nothing (halving both the swap cadence and the reported
+        # rate), so both parities use the (0,1) pairing.
+        p1 = p0
     partners = jnp.asarray(np.stack([p0, p1]), jnp.int32)
 
     def step(carry, xs):

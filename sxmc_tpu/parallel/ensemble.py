@@ -82,12 +82,20 @@ def run_sharded_ensemble(
 
     device_data = mcmc.stack.device_data
 
-    def run_one_experiment(exp_keys, exp_rb):
-        run = lambda k: metropolis._run_single_chain(  # noqa: E731
-            mcmc, k, exp_rb, device_data, nsteps=nsteps,
+    # Proposal geometry follows the fit config: diagonal widths, or
+    # Haario full-covariance chains (fit.proposal = "full_cov").
+    if getattr(fc, "proposal", "diagonal") == "full_cov":
+        chain_fn = lambda k, rb_: metropolis._run_single_chain_fullcov(  # noqa: E731,E501
+            mcmc, k, rb_, device_data, nsteps=nsteps,
+            burnin_steps=burnin_steps, debug_mode=fc.debug_mode)
+    else:
+        chain_fn = lambda k, rb_: metropolis._run_single_chain(  # noqa: E731,E501
+            mcmc, k, rb_, device_data, nsteps=nsteps,
             burnin_steps=burnin_steps, debug_mode=fc.debug_mode,
             rate_substeps=getattr(fc, 'rate_substeps', 0))
-        return jax.vmap(run)(exp_keys)
+
+    def run_one_experiment(exp_keys, exp_rb):
+        return jax.vmap(lambda k: chain_fn(k, exp_rb))(exp_keys)
 
     batched = jax.vmap(run_one_experiment)
 

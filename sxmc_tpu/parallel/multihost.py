@@ -73,11 +73,18 @@ def run_multihost_ensemble(
         keys = jnp.stack([jax.random.fold_in(key, 1000 + gi)
                           for gi in local])
         burnin_steps = int(nsteps * fc.burnin_fraction)
-        samples, nlls, _ = metropolis.run_experiment_batch(
-            mcmc, keys, jnp.asarray(np.asarray(rb)),
-            mcmc.stack.device_data, nsteps=nsteps,
-            burnin_steps=burnin_steps, debug_mode=fc.debug_mode,
-            rate_substeps=getattr(fc, 'rate_substeps', 0))
+        if getattr(fc, "proposal", "diagonal") == "full_cov":
+            run = lambda k, rb1: metropolis._run_single_chain_fullcov(  # noqa: E731,E501
+                mcmc, k, rb1, mcmc.stack.device_data, nsteps=nsteps,
+                burnin_steps=burnin_steps, debug_mode=fc.debug_mode)
+            samples, nlls, _ = jax.vmap(run)(
+                keys, jnp.asarray(np.asarray(rb)))
+        else:
+            samples, nlls, _ = metropolis.run_experiment_batch(
+                mcmc, keys, jnp.asarray(np.asarray(rb)),
+                mcmc.stack.device_data, nsteps=nsteps,
+                burnin_steps=burnin_steps, debug_mode=fc.debug_mode,
+                rate_substeps=getattr(fc, 'rate_substeps', 0))
         samples = np.asarray(samples)
         nlls = metropolis.nll_history_to_f64(nlls)
 

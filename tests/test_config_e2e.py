@@ -212,6 +212,13 @@ class TestEndToEnd:
         assert gof and gof[0]["ndof"] > 0
         assert 0.0 <= gof[0]["p_toys"] <= 1.0
 
+        # Resume path: the experiment reloads from its lspace file
+        # (samples_data is None) — --gof must be skipped, not crash.
+        assert main([str(cfg_file), str(outdir), "--gof", "30",
+                     "--resume"]) == 0
+        out = capsys.readouterr().out
+        assert "Resuming from" in out
+
     def test_resume_from_samples(self, mc_files, tmp_path):
         conf = example_config(mc_files, nsteps=2000)
         cfg_file = tmp_path / "fit.json"

@@ -90,3 +90,64 @@ class TestFullCov:
                   nchains=3, proposal="full_cov")
         assert ls.samples.shape == (3 * 1200, 2)
         assert abs(float(np.mean(ls.column("a"))) - 1.0) < 0.4
+
+    def test_degenerate_phase_keeps_previous_proposal(self,
+                                                      correlated_fit):
+        """A burn-in phase with zero accepted moves (constant samples)
+        must retune to the PREVIOUS proposal, not collapse to ~0."""
+        from sxmc_tpu.mcmc import metropolis
+
+        mcmc, _ = correlated_fit
+        tril0 = metropolis._initial_scale_tril(mcmc)
+        frozen = np.broadcast_to(
+            np.array([1.0, 2.0], np.float32), (50, 2))
+        new = metropolis.retune_scale_tril(
+            mcmc, tril0, jax.numpy.asarray(frozen))
+        np.testing.assert_allclose(np.asarray(new), np.asarray(tril0))
+
+    def test_burnin_validation(self, correlated_fit):
+        mcmc, data = correlated_fit
+        with pytest.raises(ValueError, match="post-burn-in"):
+            mcmc(data, nsteps=100, burnin_fraction=0.5)
+
+    def test_checkpoint_full_cov_resume(self, correlated_fit,
+                                        tmp_path):
+        from sxmc_tpu import checkpoint as ckpt_mod
+
+        mcmc, data = correlated_fit
+        path = str(tmp_path / "fc.ckpt.npz")
+        ls_full = ckpt_mod.run_checkpointed(
+            mcmc, data, 900, 0.1, segment_steps=300,
+            checkpoint_path=path, seed=9, proposal="full_cov")
+        import os
+
+        os.remove(path)
+
+        class Stop(Exception):
+            pass
+
+        orig = ckpt_mod.save_chain_state
+        calls = {"n": 0}
+
+        def bomb(p, s):
+            orig(p, s)
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise Stop()
+
+        ckpt_mod.save_chain_state = bomb
+        try:
+            ckpt_mod.run_checkpointed(
+                mcmc, data, 900, 0.1, segment_steps=300,
+                checkpoint_path=path, seed=9, proposal="full_cov")
+            raise AssertionError("expected Stop")
+        except Stop:
+            pass
+        finally:
+            ckpt_mod.save_chain_state = orig
+
+        ls_res = ckpt_mod.run_checkpointed(
+            mcmc, data, 900, 0.1, segment_steps=300,
+            checkpoint_path=path, seed=9, proposal="full_cov")
+        np.testing.assert_allclose(ls_res.samples, ls_full.samples,
+                                   rtol=1e-6)

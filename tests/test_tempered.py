@@ -95,6 +95,20 @@ class TestTemperedUnimodal:
             assert abs(mp - mt) < 0.5 * max(sp, st), (name, mp, mt)
             assert 0.6 < sp / st < 1.67, (name, sp, st)
 
+    def test_two_replica_ladder_swaps_every_window(self):
+        """ntemps=2 has exactly one adjacent pair; both pairing
+        parities must use it (a self-pairing parity would silently
+        halve the swap cadence and the reported rate)."""
+        obs, systs, sources, signals = unimodal_fixture()
+        data = make_fake_dataset(jax.random.PRNGKey(4), signals, systs,
+                                 [obs], poisson=False)
+        temp = TemperedMCMC(sources, signals, systs, [obs], ntemps=2,
+                            tmax=1.1, swap_every=3)
+        temp(data, nsteps=300, burnin_fraction=0.1, seed=5)
+        # Near-identical temperatures swap nearly always; a
+        # self-pairing parity bug would halve the measured rate.
+        assert temp.last_swap_rate > 0.6, temp.last_swap_rate
+
     def test_debug_mode(self):
         obs, systs, sources, signals = unimodal_fixture()
         data = make_fake_dataset(jax.random.PRNGKey(4), signals, systs,
