@@ -289,7 +289,8 @@ def run_ensemble(
             gof = goodness_of_fit(
                 fc.sources, fc.signals, fc.systematics, fc.observables,
                 samples_data, best_params, ntoys=max(gof_toys, 0),
-                key=jax.random.fold_in(exp_key, 11), stack=mcmc.stack)
+                key=jax.random.fold_in(exp_key, 11), stack=mcmc.stack,
+                refit=True)
             log(f"-- Goodness of fit --\n {gof}")
             metrics.log("experiment_gof", experiment=i, chi2=gof.chi2,
                         ndof=gof.ndof, p_asymptotic=gof.p_asymptotic,
@@ -440,7 +441,7 @@ def _run_mle_experiment(mle, fc: FitConfig, samples_data, output_path: str,
         gof = goodness_of_fit(
             fc.sources, fc.signals, fc.systematics, fc.observables,
             samples_data, best_params, ntoys=max(gof_toys, 0),
-            key=gof_key, stack=mle.stack)
+            key=gof_key, stack=mle.stack, refit=True)
         log(f"-- Goodness of fit --\n {gof}")
         if metrics is not None:
             metrics.log("experiment_gof", experiment=index,

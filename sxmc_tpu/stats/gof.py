@@ -122,6 +122,55 @@ def baker_cousins_chi2(observed: np.ndarray,
     return float(2.0 * np.where((mu > 0) | (n > 0), terms, 0.0).sum())
 
 
+def _refit_toy_rates(sources, signals, systematics, observables,
+                     best_params, batch, stack, nsources):
+    """Refit each toy's free rates (systematics pinned at the best-fit
+    theta) — one vmapped BFGS batch, the Feldman-Cousins inner-loop
+    machinery (stats.feldman_cousins._toy_dnll_batch pattern).
+
+    Returns ``(ntoys, nsources)`` fitted rate vectors.
+    """
+    import jax.numpy as jnp
+
+    from sxmc_tpu.pdf.evalhist import eval_from_bins
+    from sxmc_tpu.stats.mle import _LOG_CLAMP, MLE, _bfgs
+    from sxmc_tpu.ops.nll import nll as nll_fn
+
+    mle = MLE(sources, signals, systematics, observables)
+    theta = jnp.asarray(best_params[nsources:], jnp.float32)
+    pinned = jnp.asarray(best_params, jnp.float32)
+    free_idx = tuple(mle._free_rates)
+
+    rb_toys = jnp.asarray(np.asarray(stack.compute_read_bins(batch)))
+    # Systematics are pinned, so the binned PDFs are toy-invariant:
+    # build once, LUT per toy is a pure gather (no kernel rebuilds).
+    hists, norms = stack.histograms(theta)
+
+    q0 = jnp.log(jnp.maximum(pinned[jnp.asarray(free_idx)], 1e-4)) \
+        if free_idx else jnp.zeros((0,), jnp.float32)
+    idx = jnp.asarray(free_idx, jnp.int32)
+
+    @jax.jit
+    def fit_all(rb_toys, hists, norms):
+        def one(rb1):
+            lut = jax.vmap(eval_from_bins, in_axes=(0, 0, None, 0))(
+                hists, norms, stack.bin_volume, rb1)
+
+            def fun(qf):
+                r = jnp.exp(jnp.clip(qf, -_LOG_CLAMP, _LOG_CLAMP))
+                return nll_fn(pinned.at[idx].set(r), lut, norms,
+                              mle.static)
+
+            if not free_idx:
+                return pinned[:nsources]
+            x, _, _ = _bfgs(fun, q0, mle.maxiter)
+            return pinned.at[idx].set(jnp.exp(x))[:nsources]
+
+        return jax.vmap(one)(rb_toys)
+
+    return np.asarray(fit_all(rb_toys, hists, norms))
+
+
 def goodness_of_fit(
     sources: Sequence[Source],
     signals: Sequence[Signal],
@@ -132,6 +181,7 @@ def goodness_of_fit(
     ntoys: int = 0,
     key=None,
     stack=None,
+    refit: bool = False,
 ) -> GofResult:
     """Saturated-chi2 GOF of a fit result, optionally toy-calibrated.
 
@@ -140,6 +190,13 @@ def goodness_of_fit(
             coefficients, the MCMC/MLE layout).
         ntoys: when > 0, also simulate this many datasets from the
             best-fit model (batched) and report the exact p-value.
+        refit: upgrade the plug-in toys to a FULL parametric bootstrap:
+            each toy's free rates are refit (one vmapped BFGS batch,
+            systematics pinned at the best-fit theta) and its chi2 is
+            computed against its OWN fitted expectation — the correct
+            null distribution of the data statistic, which is itself a
+            post-fit quantity.  Plug-in (refit=False) errs
+            conservative.
     """
     if stack is None:
         from sxmc_tpu.pdf.stack import PdfStack
@@ -203,11 +260,33 @@ def goodness_of_fit(
             obs_toys[d] = np.bincount(
                 toy_idx[sel] * total + ids[sel],
                 minlength=ntoys * total).reshape(ntoys, total)
-        mu = np.maximum(expected[:, None, :], 1e-12)
+
+        if refit:
+            # Full bootstrap: each toy's chi2 against its own refitted
+            # expectation.  W[d][s, i] collects the per-source bin
+            # weights so mu_toys[d] = rates_hat @ W[d].
+            rates_hat = _refit_toy_rates(
+                sources, signals, systematics, observables,
+                best_params, batch, stack, nsources)
+            hists_b, _ = stack.histograms(
+                jax.numpy.asarray(best_params[nsources:],
+                                  jax.numpy.float32))
+            hists_b = np.asarray(hists_b, np.float64)
+            exp_toys = np.zeros((len(datasets), ntoys, total),
+                                np.float64)
+            for j, sig in enumerate(signals):
+                d = datasets.index(sig.dataset)
+                exp_toys[d] += (rates_hat[:, sig.source.index, None]
+                                * sig.nexpected * hists_b[j][None, :]
+                                / sig.n_mc)
+        else:
+            exp_toys = np.broadcast_to(
+                expected[:, None, :],
+                (len(datasets), ntoys, total))
+        mu = np.maximum(exp_toys, 1e-12)
         n = obs_toys
-        terms = expected[:, None, :] - n + n * np.log(
-            np.where(n > 0, n / mu, 1.0))
-        mask = (expected[:, None, :] > 0) | (n > 0)
+        terms = exp_toys - n + n * np.log(np.where(n > 0, n / mu, 1.0))
+        mask = (exp_toys > 0) | (n > 0)
         chi2_toys = 2.0 * np.where(mask, terms, 0.0).sum(axis=(0, 2))
         p_toys = float((chi2_toys >= chi2).mean())
 

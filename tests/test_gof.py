@@ -88,6 +88,32 @@ class TestGoodnessOfFit:
                      & (data[:, 1] == 0)).sum()
         assert counts.sum() == in_domain
 
+    def test_refit_bootstrap(self):
+        """The full parametric bootstrap (per-toy refitted rates) must
+        still discriminate, and its p-value sits at or below the
+        conservative plug-in's (refitting absorbs statistical slack)."""
+        obs, systs, sources, signals = make_fixture()
+        data = make_fake_dataset(jax.random.PRNGKey(4), signals, systs,
+                                 [obs], poisson=True)
+        params = np.array([1.0, 1.0, 0.0], np.float32)
+        plug = goodness_of_fit(sources, signals, systs, [obs], data,
+                               params, ntoys=150,
+                               key=jax.random.PRNGKey(8))
+        boot = goodness_of_fit(sources, signals, systs, [obs], data,
+                               params, ntoys=150,
+                               key=jax.random.PRNGKey(8), refit=True)
+        assert boot.chi2 == plug.chi2  # data statistic unchanged
+        assert 0.01 < boot.p_toys < 0.99
+        assert boot.p_toys <= plug.p_toys + 0.05, (boot, plug)
+
+        data_bad = make_fake_dataset(
+            jax.random.PRNGKey(4), signals, systs, [obs], poisson=True,
+            theta=np.array([1.5], np.float32))
+        bad = goodness_of_fit(sources, signals, systs, [obs], data_bad,
+                              params, ntoys=100,
+                              key=jax.random.PRNGKey(8), refit=True)
+        assert bad.p_toys <= 0.01
+
     def test_str_roundtrip(self):
         obs, systs, sources, signals = make_fixture()
         data = make_fake_dataset(jax.random.PRNGKey(4), signals, systs,
