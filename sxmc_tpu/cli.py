@@ -82,6 +82,20 @@ def main(argv=None) -> int:
                         help="with --hypotest, also compute the median "
                              "and +-1 sigma expected CLs limits (the "
                              "Brazil band) from background-only toys")
+    parser.add_argument("--bias-study", metavar="NTOYS", type=int,
+                        default=0, dest="bias_toys",
+                        help="before fitting, validate the fit with a "
+                             "pull/bias study: NTOYS toy experiments "
+                             "generated at the nominal rates and fit "
+                             "as one vmapped batch; reports pull "
+                             "mean/width and coverage per free rate "
+                             "(written to {prefix}_pulls.json)")
+    parser.add_argument("--hypotest-asymptotic", action="store_true",
+                        help="compute the asymptotic (Asimov) CLs "
+                             "upper limit and expected +-2 sigma band "
+                             "for fit.signal_name — deterministic, no "
+                             "toys (combine with --hypotest for the "
+                             "toy-exact versions too)")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -150,10 +164,12 @@ def main(argv=None) -> int:
                  data_root=args.data_root, sampler=args.sampler,
                  hypotest_toys=args.hypotest,
                  hypotest_band=args.hypotest_band,
+                 hypotest_asymptotic=args.hypotest_asymptotic,
                  checkpoint_steps=args.checkpoint_steps,
                  max_retries=args.max_retries,
                  rate_substeps=args.rate_substeps,
-                 gof_toys=args.gof_toys)
+                 gof_toys=args.gof_toys,
+                 bias_toys=args.bias_toys)
     return 0
 
 

@@ -34,9 +34,11 @@ def run_ensemble(
     sampler: str = "metropolis",
     hypotest_toys: int = 0,
     hypotest_band: bool = False,
+    hypotest_asymptotic: bool = False,
     checkpoint_steps: int = 0,
     max_retries: int = 1,
     gof_toys: int = -1,
+    bias_toys: int = 0,
 ) -> List[float]:
     """Run the full ensemble; returns the per-experiment upper limits.
 
@@ -50,7 +52,10 @@ def run_ensemble(
     "Brazil band" when ``hypotest_band``) on the configured
     ``signal_name`` for every experiment — machinery the reference
     lacks entirely (its nearest analog is the median-limit loop,
-    sxmc.cpp:110-127).
+    sxmc.cpp:110-127).  ``hypotest_asymptotic`` adds (or, with no toys,
+    replaces them by) the Asimov-based asymptotic CLs limit and
+    expected band — deterministic, no toy ensembles
+    (stats.hypotest.asymptotic_upper_limit).
 
     ``checkpoint_steps > 0`` runs each Metropolis chain in segments of
     that many steps with the full chain state persisted after each —
@@ -129,7 +134,8 @@ def run_ensemble(
             np.save(os.path.join(output_path, f"{sig.name}_pdf.npy"), dens)
 
     ht = None
-    if hypotest_toys > 0 and fc.signal_name:
+    want_hypotest = hypotest_toys > 0 or hypotest_asymptotic
+    if want_hypotest and fc.signal_name:
         from sxmc_tpu.stats.hypotest import HypoTest
         from sxmc_tpu.stats.mle import MLE
 
@@ -139,8 +145,33 @@ def run_ensemble(
             ht = HypoTest(est, fc.signal_name)
         except ValueError as e:
             log(f"ensemble: hypotest disabled: {e}")
-    elif hypotest_toys > 0:
+    elif want_hypotest:
         log("ensemble: hypotest requires fit.signal_name")
+
+    if bias_toys > 0 and not fc.samples:
+        # Pre-fit validation: pull/bias study of the free rates over a
+        # batched toy ensemble (stats.bias) — run once per ensemble.
+        import json
+
+        from sxmc_tpu.stats.bias import pull_study
+        from sxmc_tpu.stats.mle import MLE
+
+        est_b = (ht.mle if ht is not None else
+                 mcmc if isinstance(mcmc, MLE) else
+                 MLE(fc.sources, fc.signals, fc.systematics,
+                     fc.observables))
+        ps = pull_study(est_b, bias_toys,
+                        jax.random.PRNGKey(fc.seed + 0x5A5A),
+                        cl=fc.confidence)
+        log(str(ps))
+        summary = ps.summary()
+        metrics.log("pull_study", ntoys=bias_toys, cl=fc.confidence,
+                    summary=summary)
+        with open(os.path.join(
+                output_path, f"{fc.output_prefix}_pulls.json"),
+                "w") as f:
+            json.dump({"ntoys": bias_toys, "cl": fc.confidence,
+                       "summary": summary}, f, indent=1)
 
     key = jax.random.PRNGKey(fc.seed)
     limits: List[float] = []
@@ -184,7 +215,8 @@ def run_ensemble(
             if ht is not None:
                 _run_hypotest(ht, fc, samples_data, output_path, i,
                               hypotest_toys, hypotest_band,
-                              jax.random.fold_in(exp_key, 7), log)
+                              jax.random.fold_in(exp_key, 7), log,
+                              asymptotic=hypotest_asymptotic)
 
             if sampler == "mle":
                 limit = _run_mle_experiment(
@@ -361,12 +393,15 @@ def run_ensemble(
 
 
 def _run_hypotest(ht, fc: FitConfig, data, output_path: str, index: int,
-                  ntoys: int, band: bool, key, log) -> None:
+                  ntoys: int, band: bool, key, log,
+                  asymptotic: bool = False) -> None:
     """Discovery significance + CLs limit for the signal of interest.
 
     The CLs scan grid is auto-sized from the profile-likelihood upper
     limit (grid = [hi/8 .. 2x the profile limit]), so no user tuning is
     needed; results go to ``{prefix}_hypotest_{i}.json``.
+    ``asymptotic`` adds the Asimov-based CLs limit + expected band
+    (deterministic; the only path when ``ntoys == 0``).
     """
     import json
 
@@ -380,33 +415,52 @@ def _run_hypotest(ht, fc: FitConfig, data, output_path: str, index: int,
     lim0 = ht.mle.upper_limit(fc.signal_name, cl, result)
     hi = max(2.0 * lim0, 1e-2)
     grid = np.linspace(hi / 8.0, hi, 8)
-    limit, grid, cls_vals = ht.cls_upper_limit(
-        k_cls, data, grid, ntoys=ntoys, cl=cl)
-    log(f"hypotest: CLs upper limit ({cl:.0%} CL): {limit:g} "
-        f"(profile-likelihood: {lim0:g})")
 
     out = {
         "signal": fc.signal_name, "cl": cl, "ntoys": ntoys,
         "q0": disc.q0, "z_asymptotic": disc.z_asymptotic,
         "p_asymptotic": disc.p_asymptotic, "z_toys": disc.z_toys,
-        "p_toys": disc.p_toys, "cls_limit": limit,
-        "profile_limit": lim0, "r_grid": list(grid),
-        "cls_values": list(cls_vals),
+        "p_toys": disc.p_toys, "profile_limit": lim0,
+        "r_grid": list(grid),
     }
+
+    limit = None
+    cls_vals = None
+    if ntoys > 0:
+        limit, grid, cls_vals = ht.cls_upper_limit(
+            k_cls, data, grid, ntoys=ntoys, cl=cl)
+        log(f"hypotest: CLs upper limit ({cl:.0%} CL): {limit:g} "
+            f"(profile-likelihood: {lim0:g})")
+        out["cls_limit"] = limit
+        out["cls_values"] = list(cls_vals)
+
     bd = None
-    if band:
+    if band and ntoys > 0:
         bd = ht.cls_expected_band(k_band, grid, ntoys=ntoys, cl=cl,
                                   background_fit=result,
                                   quantiles=(0.16, 0.5, 0.84))
         log(f"hypotest: Expected limit (median [-1s, +1s]): "
             f"{bd[0.5]:g} [{bd[0.16]:g}, {bd[0.84]:g}]")
         out["expected_limit"] = {str(k): v for k, v in bd.items()}
+
+    if asymptotic:
+        asym = ht.asymptotic_upper_limit(data, grid, cl=cl)
+        log(f"hypotest: Asymptotic (Asimov) {asym}")
+        out["asymptotic_limit"] = asym.limit
+        out["asymptotic_expected"] = {
+            str(n): v for n, v in asym.expected.items()}
+        out["asymptotic_cls_values"] = list(asym.cls_obs)
+        if limit is None:
+            limit = asym.limit
+            cls_vals = asym.cls_obs
+            bd = {0.16: asym.expected[-1], 0.5: asym.expected[0],
+                  0.84: asym.expected[1]}
     with open(os.path.join(
             output_path,
             f"{fc.output_prefix}_hypotest_{index}.json"), "w") as f:
         json.dump(out, f, indent=1)
 
-    if fc.plots:
+    if fc.plots and cls_vals is not None:
         try:
             from sxmc_tpu import plots
 
@@ -487,10 +541,12 @@ def main_fit(config_file: str, output_path: str, resume: bool = False,
              sampler: str = "metropolis",
              hypotest_toys: int = 0,
              hypotest_band: bool = False,
+             hypotest_asymptotic: bool = False,
              checkpoint_steps: int = 0,
              max_retries: int = 1,
              rate_substeps: Optional[int] = None,
-             gof_toys: int = -1) -> List[float]:
+             gof_toys: int = -1,
+             bias_toys: int = 0) -> List[float]:
     """Full driver (reference: sxmc.cpp:181-229)."""
     print("sxmc_tpu: Loading configuration...")
     print(f"sxmc_tpu: Configuration: {config_file}")
@@ -503,8 +559,10 @@ def main_fit(config_file: str, output_path: str, resume: bool = False,
     limits = run_ensemble(fc, output_path, resume=resume,
                           sampler=sampler, hypotest_toys=hypotest_toys,
                           hypotest_band=hypotest_band,
+                          hypotest_asymptotic=hypotest_asymptotic,
                           checkpoint_steps=checkpoint_steps,
-                          max_retries=max_retries, gof_toys=gof_toys)
+                          max_retries=max_retries, gof_toys=gof_toys,
+                          bias_toys=bias_toys)
 
     if limits:
         print("sxmc_tpu: Upper limits:", ", ".join(f"{x:g}" for x in limits))

@@ -159,7 +159,8 @@ def signal_weights(pars: jnp.ndarray, norms: jnp.ndarray,
 
 
 def nll_pair(pars: jnp.ndarray, lut: jnp.ndarray, norms: jnp.ndarray,
-             st: NLLStatic) -> Tuple[jnp.ndarray, jnp.ndarray]:
+             st: NLLStatic, weights: jnp.ndarray = None
+             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full extended-ML NLL with compensated (double-float) accumulation.
 
     The event log-sum, expected-count term, and constraint sum are
@@ -174,6 +175,11 @@ def nll_pair(pars: jnp.ndarray, lut: jnp.ndarray, norms: jnp.ndarray,
             out-of-domain points).
         norms: ``(nsignals,)`` in-domain MC counts at current systematics.
         st: fit constants.
+        weights: optional ``(nevents,)`` per-event weights on the log
+            term (sum_i w_i log s_i).  A weight of k is exactly k
+            identical events; non-integer weights make Asimov datasets
+            expressible as weighted events (stats.asimov).  The
+            reference has no weighted-data concept.
 
     Returns:
         (hi, lo) f32 pair; hi + lo is the NLL (1e18 barrier applied).
@@ -197,6 +203,8 @@ def nll_pair(pars: jnp.ndarray, lut: jnp.ndarray, norms: jnp.ndarray,
                        preferred_element_type=jnp.float32)
         s = jax.lax.optimization_barrier(s)
     logs = jnp.where(s > 0, jnp.log(jnp.where(s > 0, s, 1.0)), 0.0)
+    if weights is not None:
+        logs = logs * weights
     ev_hi, ev_lo = df_sum(logs)
 
     w_hi, w_lo = df_sum(w)
@@ -216,7 +224,7 @@ def nll_pair(pars: jnp.ndarray, lut: jnp.ndarray, norms: jnp.ndarray,
 
 
 def nll(pars: jnp.ndarray, lut: jnp.ndarray, norms: jnp.ndarray,
-        st: NLLStatic) -> jnp.ndarray:
+        st: NLLStatic, weights: jnp.ndarray = None) -> jnp.ndarray:
     """Full extended-ML NLL as a scalar f32 (see :func:`nll_pair`).
 
     The value is computed with compensated accumulation and then
@@ -224,5 +232,5 @@ def nll(pars: jnp.ndarray, lut: jnp.ndarray, norms: jnp.ndarray,
     10^7-event scale should use :func:`nll_pair` directly (the MCMC
     step does).
     """
-    hi, lo = nll_pair(pars, lut, norms, st)
+    hi, lo = nll_pair(pars, lut, norms, st, weights)
     return hi + lo

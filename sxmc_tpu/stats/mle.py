@@ -114,7 +114,8 @@ class MLE(MCMC):
 
     # ------------------------------------------------------------------
 
-    def fit(self, data: np.ndarray) -> FitResult:
+    def fit(self, data: np.ndarray,
+            weights: Optional[np.ndarray] = None) -> FitResult:
         """Run the fit: rates by jitted BFGS; floating systematics by a
         device-batched coordinate-grid descent.
 
@@ -124,10 +125,16 @@ class MLE(MCMC):
         around the constraint scale, every grid point a full
         rate-profiled solve, and the whole grid is ONE device call
         (_profile_syst_grid) — replacing the serial host Nelder-Mead
-        loop of round 1 (~1 device round-trip per simplex move)."""
+        loop of round 1 (~1 device round-trip per simplex move).
+
+        ``weights`` are optional per-event weights on the log term (a
+        weight of k is exactly k identical events) — the mechanism that
+        makes Asimov datasets (stats.asimov) fittable."""
         self.stack.set_data(np.asarray(data, np.float32))
         read_bins = self.stack._read_bins
         device_data = self.stack.device_data
+        w = (jnp.asarray(weights, jnp.float32)
+             if weights is not None else None)
 
         theta_full = np.asarray(self.parameter_means[self.nsources:],
                                 np.float32)
@@ -135,24 +142,25 @@ class MLE(MCMC):
 
         if self._float_systs:
             theta_full = self._fit_systematics(
-                theta_full, q0, read_bins, device_data)
+                theta_full, q0, read_bins, device_data, w)
         theta_hat = theta_full
 
-        qhat, fmin, ok = self._solve(theta_hat, q0, read_bins, device_data)
+        qhat, fmin, ok = self._solve(theta_hat, q0, read_bins,
+                                     device_data, w)
         params = self._assemble(np.asarray(qhat), theta_hat)
 
-        cov = self._hessian_covariance(params, read_bins, device_data)
+        cov = self._hessian_covariance(params, read_bins, device_data, w)
         result = FitResult(
             names=list(self.parameter_names), params=params,
             nll=float(fmin), free=~self.parameter_fixed.copy(),
             covariance=cov, converged=bool(ok))
-        self._last = (result, read_bins, device_data)
+        self._last = (result, read_bins, device_data, w)
         return result
 
     # ------------------------------------------------------------------
 
     def _fit_systematics(self, theta: np.ndarray, q0: np.ndarray,
-                         read_bins, device_data,
+                         read_bins, device_data, weights=None,
                          npasses: int = 4, ngrid: int = 9) -> np.ndarray:
         """Coordinate-grid descent over the floating systematics.
 
@@ -179,7 +187,7 @@ class MLE(MCMC):
                     self, jnp.asarray(grid), int(j),
                     tuple(self._free_rates), jnp.asarray(q0),
                     jnp.asarray(theta), read_bins, device_data,
-                    self.maxiter))
+                    self.maxiter, weights))
                 theta[j] = grid[int(np.argmin(pnll))]
         return theta
 
@@ -192,7 +200,7 @@ class MLE(MCMC):
         global-fit optimum (a standard profile approximation; pass the
         grid through :meth:`fit` per point for the exact curve).
         """
-        result, read_bins, device_data = self._ensure_fit(result)
+        result, read_bins, device_data, weights = self._ensure_fit(result)
         values = np.asarray(values, np.float32)
         k = self.parameter_names.index(name)
         theta_hat = np.asarray(result.params[self.nsources:], np.float32)
@@ -203,7 +211,7 @@ class MLE(MCMC):
             pnll = _profile_rate_grid(
                 self, jnp.asarray(values), k, tuple(free),
                 jnp.asarray(q_init), jnp.asarray(theta_hat),
-                read_bins, device_data, self.maxiter)
+                read_bins, device_data, self.maxiter, weights)
             return np.asarray(pnll)
 
         # Systematic coefficient: re-histogram per grid point (the PDF
@@ -213,7 +221,7 @@ class MLE(MCMC):
         pnll = _profile_syst_grid(
             self, jnp.asarray(values), j, tuple(self._free_rates),
             jnp.asarray(q_init), jnp.asarray(theta_hat),
-            read_bins, device_data, self.maxiter)
+            read_bins, device_data, self.maxiter, weights)
         return np.asarray(pnll)
 
     def conditional_fit(self, name: str, value: float,
@@ -227,14 +235,15 @@ class MLE(MCMC):
         unconditional best fit.  Floating systematics are held at the
         global-fit optimum (profile approximation).
         """
-        result, read_bins, device_data = self._ensure_fit(result)
+        result, read_bins, device_data, weights = self._ensure_fit(result)
         k = self.parameter_names.index(name)
         free = tuple(i for i in self._free_rates if i != k)
         theta_hat = np.asarray(result.params[self.nsources:], np.float32)
         q_init = self._q_from_params(result.params)
         qhat, _, _ = _solve_rates_pinned(
             self, jnp.float32(value), k, free, jnp.asarray(q_init),
-            jnp.asarray(theta_hat), read_bins, device_data, self.maxiter)
+            jnp.asarray(theta_hat), read_bins, device_data, self.maxiter,
+            weights)
         params = self._assemble(np.asarray(qhat), theta_hat)
         params[k] = value
         return params
@@ -244,7 +253,7 @@ class MLE(MCMC):
                          ngrid: int = 41) -> Interval:
         """MINOS-style asymmetric interval from profile crossings of
         dNLL = chi2_quantile(cl, 1) / 2."""
-        result, _, _ = self._ensure_fit(result)
+        result, _, _, _ = self._ensure_fit(result)
         k = self.parameter_names.index(name)
         vhat = result.value(name)
         sig = result.error(name)
@@ -263,7 +272,7 @@ class MLE(MCMC):
                     ngrid: int = 61) -> float:
         """One-sided profile-likelihood upper limit:
         dNLL crossing at z(cl)^2/2 with z the one-sided normal quantile."""
-        result, _, _ = self._ensure_fit(result)
+        result, _, _, _ = self._ensure_fit(result)
         vhat = max(result.value(name), 0.0)
         sig = result.error(name)
         if not np.isfinite(sig) or sig <= 0:
@@ -301,20 +310,21 @@ class MLE(MCMC):
             params[i] = np.exp(np.clip(qhat[i], -_LOG_CLAMP, _LOG_CLAMP))
         return params
 
-    def _solve(self, theta, q0, read_bins, device_data):
+    def _solve(self, theta, q0, read_bins, device_data, weights=None):
         """Optimize the free rates at fixed systematics."""
         qhat, fun, ok = _solve_rates(
             self, jnp.asarray(theta, jnp.float32),
             jnp.asarray(q0, jnp.float32), tuple(self._free_rates),
-            read_bins, device_data, self.maxiter)
+            read_bins, device_data, self.maxiter, weights)
         return qhat, float(fun), bool(ok)
 
-    def _hessian_covariance(self, params, read_bins, device_data):
+    def _hessian_covariance(self, params, read_bins, device_data,
+                            weights=None):
         free = ~self.parameter_fixed
         free_idx = np.where(free)[0]
         h = _free_hessian(self, jnp.asarray(params, jnp.float32),
                           tuple(int(i) for i in free_idx),
-                          read_bins, device_data)
+                          read_bins, device_data, weights)
         h = np.asarray(h, np.float64)
         # A floating systematic with no Gaussian constraint (sigma = 0)
         # has zero curvature everywhere (its event term is
@@ -388,7 +398,7 @@ def _interval_from_profile(grid: np.ndarray, pnll: np.ndarray,
 # jitted kernels
 
 
-def _rate_objective(mle: MLE, theta, lut, norms, free_idx):
+def _rate_objective(mle: MLE, theta, lut, norms, free_idx, weights=None):
     """q_free -> NLL with rates r = exp(q) scattered at free_idx."""
     base = jnp.concatenate([
         jnp.asarray(mle.parameter_means[:mle.nsources], jnp.float32),
@@ -398,7 +408,7 @@ def _rate_objective(mle: MLE, theta, lut, norms, free_idx):
     def fun(qf):
         r = jnp.exp(jnp.clip(qf, -_LOG_CLAMP, _LOG_CLAMP))
         params = base.at[idx].set(r) if len(free_idx) else base
-        return nll_fn(params, lut, norms, mle.static)
+        return nll_fn(params, lut, norms, mle.static, weights)
 
     return fun
 
@@ -449,9 +459,9 @@ def _bfgs(fun, x0, maxiter):
 @functools.partial(
     jax.jit, static_argnames=("mle", "free_idx", "maxiter"))
 def _solve_rates(mle: MLE, theta, q0, free_idx, read_bins, device_data,
-                 maxiter: int):
+                 maxiter: int, weights=None):
     lut, norms = mle.stack.evaluate(theta, read_bins, device_data)
-    fun = _rate_objective(mle, theta, lut, norms, free_idx)
+    fun = _rate_objective(mle, theta, lut, norms, free_idx, weights)
     if not free_idx:
         return q0, fun(jnp.zeros((0,), jnp.float32)), jnp.bool_(True)
     x0 = q0[jnp.asarray(free_idx, jnp.int32)]
@@ -463,7 +473,8 @@ def _solve_rates(mle: MLE, theta, q0, free_idx, read_bins, device_data,
 @functools.partial(
     jax.jit, static_argnames=("mle", "k", "free_idx", "maxiter"))
 def _solve_rates_pinned(mle: MLE, v, k: int, free_idx, q0, theta,
-                        read_bins, device_data, maxiter: int):
+                        read_bins, device_data, maxiter: int,
+                        weights=None):
     """Optimize the free rates with rate ``k`` pinned at ``v``."""
     lut, norms = mle.stack.evaluate(theta, read_bins, device_data)
     base = jnp.concatenate([
@@ -474,7 +485,7 @@ def _solve_rates_pinned(mle: MLE, v, k: int, free_idx, q0, theta,
     def fun(qf):
         r = jnp.exp(jnp.clip(qf, -_LOG_CLAMP, _LOG_CLAMP))
         params = base.at[idx].set(r) if free_idx else base
-        return nll_fn(params, lut, norms, mle.static)
+        return nll_fn(params, lut, norms, mle.static, weights)
 
     if not free_idx:
         return q0, fun(jnp.zeros((0,), jnp.float32)), jnp.bool_(True)
@@ -487,7 +498,8 @@ def _solve_rates_pinned(mle: MLE, v, k: int, free_idx, q0, theta,
 @functools.partial(
     jax.jit, static_argnames=("mle", "k", "free_idx", "maxiter"))
 def _profile_rate_grid(mle: MLE, values, k: int, free_idx, q_init, theta,
-                       read_bins, device_data, maxiter: int):
+                       read_bins, device_data, maxiter: int,
+                       weights=None):
     """Profiled NLL over a grid of one rate: vmapped BFGS solves."""
     lut, norms = mle.stack.evaluate(theta, read_bins, device_data)
     base = jnp.concatenate([
@@ -501,7 +513,7 @@ def _profile_rate_grid(mle: MLE, values, k: int, free_idx, q_init, theta,
             r = jnp.exp(jnp.clip(qf, -_LOG_CLAMP, _LOG_CLAMP))
             params = (pinned.at[jnp.asarray(free_idx, jnp.int32)].set(r)
                       if free_idx else pinned)
-            return nll_fn(params, lut, norms, mle.static)
+            return nll_fn(params, lut, norms, mle.static, weights)
 
         if not free_idx:
             return fun(jnp.zeros((0,), jnp.float32))
@@ -515,7 +527,8 @@ def _profile_rate_grid(mle: MLE, values, k: int, free_idx, q_init, theta,
 @functools.partial(
     jax.jit, static_argnames=("mle", "j", "free_idx", "maxiter"))
 def _profile_syst_grid(mle: MLE, values, j: int, free_idx, q_init, theta,
-                       read_bins, device_data, maxiter: int):
+                       read_bins, device_data, maxiter: int,
+                       weights=None):
     """Profiled NLL over a systematic-coefficient grid.
 
     Each point re-histograms every PDF (the hot operation,
@@ -525,7 +538,7 @@ def _profile_syst_grid(mle: MLE, values, j: int, free_idx, q_init, theta,
     def one(v):
         th = theta.at[j].set(v)
         lut, norms = mle.stack.evaluate(th, read_bins, device_data)
-        fun = _rate_objective(mle, th, lut, norms, free_idx)
+        fun = _rate_objective(mle, th, lut, norms, free_idx, weights)
         if not free_idx:
             return fun(jnp.zeros((0,), jnp.float32))
         x0 = q_init[jnp.asarray(free_idx, jnp.int32)]
@@ -536,7 +549,8 @@ def _profile_syst_grid(mle: MLE, values, j: int, free_idx, q_init, theta,
 
 
 @functools.partial(jax.jit, static_argnames=("mle", "free_idx"))
-def _free_hessian(mle: MLE, params, free_idx, read_bins, device_data):
+def _free_hessian(mle: MLE, params, free_idx, read_bins, device_data,
+                  weights=None):
     """Hessian of the NLL over the free parameters, in natural units.
 
     Rates contribute their smooth event-term curvature; floating
@@ -554,6 +568,6 @@ def _free_hessian(mle: MLE, params, free_idx, read_bins, device_data):
 
     def fun(x):
         p = params.at[idx].set(x)
-        return nll_fn(p, lut0, norms0, mle.static)
+        return nll_fn(p, lut0, norms0, mle.static, weights)
 
     return jax.hessian(fun)(params[idx])

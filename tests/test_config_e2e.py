@@ -191,6 +191,27 @@ class TestEndToEnd:
         assert res["cls_limit"] > 0.0
         assert len(res["r_grid"]) == len(res["cls_values"]) == 8
 
+    def test_cli_hypotest_asymptotic(self, mc_files, tmp_path, capsys):
+        """--hypotest-asymptotic (no toys) writes the Asimov-based CLs
+        limit and expected band."""
+        conf = example_config(mc_files, nsteps=1500)
+        cfg_file = tmp_path / "fit.json"
+        cfg_file.write_text(json.dumps(conf))
+        outdir = tmp_path / "out"
+
+        from sxmc_tpu.cli import main
+        assert main([str(cfg_file), str(outdir),
+                     "--sampler", "mle", "--hypotest-asymptotic"]) == 0
+        out = capsys.readouterr().out
+        assert "Asymptotic (Asimov)" in out
+        res = json.loads(
+            (outdir / "lspace_hypotest_0.json").read_text())
+        assert res["asymptotic_limit"] > 0.0
+        exp = res["asymptotic_expected"]
+        assert set(exp) == {"-2", "-1", "0", "1", "2"}
+        assert exp["-2"] <= exp["0"] <= exp["2"]
+        assert "cls_limit" not in res  # no toys requested
+
     def test_cli_gof_and_blocked(self, mc_files, tmp_path, capsys):
         """--gof reports a saturated-chi2 p-value (and logs it to the
         metrics JSONL); --rate-substeps engages the blocked sampler."""
