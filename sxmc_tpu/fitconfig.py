@@ -120,7 +120,11 @@ class FitConfig:
             error_type=error_type,
             confidence=float(fit.get("confidence", 0.683)),
             debug_mode=bool(fit.get("debug_mode", False)),
-            output_prefix=str(fit.get("output_prefix", "lspace")),
+            # The reference's own example.json says "output_file" while
+            # config.cpp:67 reads "output_prefix" (and silently falls
+            # back to "lspace"); accept both.
+            output_prefix=str(fit.get("output_prefix",
+                                      fit.get("output_file", "lspace"))),
             plots=bool(fit.get("plots", True)),
             seed=int(fit.get("seed", 0)),
             signal_name=str(fit.get("signal_name", "")),

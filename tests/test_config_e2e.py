@@ -100,6 +100,15 @@ class TestConfigParsing:
         assert json.loads(strip_json_comments(text)) == \
             {"a": 1, "b": "x//y"}
 
+    def test_output_file_alias(self, mc_files):
+        """The reference's example.json says "output_file" where
+        config.cpp:67 reads "output_prefix" — accept both."""
+        conf = example_config(mc_files)
+        conf["fit"]["output_file"] = "myfit"
+        assert FitConfig.from_dict(conf).output_prefix == "myfit"
+        conf["fit"]["output_prefix"] = "wins"
+        assert FitConfig.from_dict(conf).output_prefix == "wins"
+
     def test_example_config(self, mc_files):
         fc = FitConfig.from_dict(example_config(mc_files))
         assert fc.nexperiments == 1
