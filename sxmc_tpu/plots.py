@@ -168,3 +168,47 @@ def plot_cls_scan(
     fig.tight_layout()
     fig.savefig(outpath, dpi=120)
     plt.close(fig)
+
+
+def plot_profile2d(
+    values1,
+    values2,
+    pnll,
+    outpath: str,
+    name1: str = "param 1",
+    name2: str = "param 2",
+    cl_list=(0.683, 0.95),
+    best=None,
+) -> None:
+    """Joint 2-dof confidence contours from a 2-D profile-NLL map.
+
+    Args:
+        values1, values2: the grid axes from ``MLE.profile2d``.
+        pnll: ``(n1, n2)`` profiled NLL map.
+        cl_list: joint confidence levels; contour at dNLL = -ln(1-cl).
+        best: optional (v1, v2) best-fit marker.
+    """
+    from sxmc_tpu.stats.mle import profile2d_contour_levels
+
+    pnll = np.asarray(pnll, float)
+    dnll = pnll - np.nanmin(pnll)
+    levels = sorted(profile2d_contour_levels(cl_list))
+
+    fig, ax = plt.subplots(figsize=(6.5, 5.5))
+    g1, g2 = np.meshgrid(np.asarray(values1, float),
+                         np.asarray(values2, float), indexing="ij")
+    pc = ax.pcolormesh(g1, g2, dnll, shading="auto", cmap="viridis",
+                       vmax=max(levels) * 2.0)
+    fig.colorbar(pc, ax=ax, label=r"$\Delta$NLL")
+    cs = ax.contour(g1, g2, dnll, levels=levels, colors="white",
+                    linewidths=1.5)
+    ax.clabel(cs, fmt={lv: f"{cl:.0%}" for lv, cl in
+                       zip(levels, sorted(cl_list))}, fontsize=8)
+    if best is not None:
+        ax.plot([best[0]], [best[1]], marker="*", ms=12,
+                color="#EE6677", mec="white", mew=0.5)
+    ax.set_xlabel(name1)
+    ax.set_ylabel(name2)
+    fig.tight_layout()
+    fig.savefig(outpath, dpi=120)
+    plt.close(fig)

@@ -224,6 +224,43 @@ class MLE(MCMC):
             read_bins, device_data, self.maxiter, weights)
         return np.asarray(pnll)
 
+    def profile2d(self, name1: str, name2: str,
+                  values1: Sequence[float], values2: Sequence[float],
+                  result: Optional[FitResult] = None) -> np.ndarray:
+        """Profiled NLL over a 2-D grid of two rate parameters.
+
+        Both parameters are pinned at every (v1, v2) grid node and the
+        remaining free rates re-optimized — the whole (n1 x n2) map is
+        ONE vmapped BFGS batch.  dNLL = map - map.min() cut at the
+        2-dof chi-square quantile (-ln(1-cl) in NLL units) gives joint
+        confidence contours; see :func:`profile2d_contour_levels`.
+
+        The reference can only approximate this by scatter-plotting
+        MCMC samples (likelihood.cpp:75-101); here it is exact and
+        deterministic.  Floating systematics are held at the
+        global-fit optimum (same profile approximation as
+        :meth:`profile`).
+        """
+        result, read_bins, device_data, weights = self._ensure_fit(result)
+        k1 = self.parameter_names.index(name1)
+        k2 = self.parameter_names.index(name2)
+        if k1 >= self.nsources or k2 >= self.nsources:
+            raise ValueError("profile2d applies to rate parameters; "
+                             "profile systematics one at a time")
+        if k1 == k2:
+            raise ValueError("profile2d needs two distinct parameters")
+        values1 = np.asarray(values1, np.float32)
+        values2 = np.asarray(values2, np.float32)
+        g1, g2 = np.meshgrid(values1, values2, indexing="ij")
+        theta_hat = np.asarray(result.params[self.nsources:], np.float32)
+        q_init = self._q_from_params(result.params)
+        free = tuple(i for i in self._free_rates if i not in (k1, k2))
+        pnll = _profile_rate_pair_grid(
+            self, jnp.asarray(g1.ravel()), jnp.asarray(g2.ravel()),
+            k1, k2, free, jnp.asarray(q_init), jnp.asarray(theta_hat),
+            read_bins, device_data, self.maxiter, weights)
+        return np.asarray(pnll).reshape(len(values1), len(values2))
+
     def conditional_fit(self, name: str, value: float,
                         result: Optional[FitResult] = None) -> np.ndarray:
         """Conditional ("hat-hat") fit: re-optimize the other free rates
@@ -522,6 +559,42 @@ def _profile_rate_grid(mle: MLE, values, k: int, free_idx, q_init, theta,
         return f
 
     return jax.vmap(one)(values)
+
+
+def profile2d_contour_levels(cl_list=(0.683, 0.95)) -> list:
+    """dNLL contour levels for JOINT 2-dof confidence regions:
+    dNLL = -ln(1 - cl) (chi2 quantile with 2 dof, halved)."""
+    return [-np.log(1.0 - cl) for cl in cl_list]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mle", "k1", "k2", "free_idx", "maxiter"))
+def _profile_rate_pair_grid(mle: MLE, v1, v2, k1: int, k2: int, free_idx,
+                            q_init, theta, read_bins, device_data,
+                            maxiter: int, weights=None):
+    """Profiled NLL with two rates pinned: vmapped over the flat grid."""
+    lut, norms = mle.stack.evaluate(theta, read_bins, device_data)
+    base = jnp.concatenate([
+        jnp.asarray(mle.parameter_means[:mle.nsources], jnp.float32),
+        theta])
+
+    def one(a, b):
+        pinned = base.at[k1].set(a).at[k2].set(b)
+
+        def fun(qf):
+            r = jnp.exp(jnp.clip(qf, -_LOG_CLAMP, _LOG_CLAMP))
+            params = (pinned.at[jnp.asarray(free_idx, jnp.int32)].set(r)
+                      if free_idx else pinned)
+            return nll_fn(params, lut, norms, mle.static, weights)
+
+        if not free_idx:
+            return fun(jnp.zeros((0,), jnp.float32))
+        x0 = q_init[jnp.asarray(free_idx, jnp.int32)]
+        _, f, _ = _bfgs(fun, x0, maxiter)
+        return f
+
+    return jax.vmap(one)(v1, v2)
 
 
 @functools.partial(

@@ -152,3 +152,69 @@ class TestUpperLimit:
         # Tighter CL -> tighter limit.
         ul68 = mle.upper_limit("sig", cl=0.68)
         assert ul68 < ul
+
+
+class TestProfile2D:
+    def test_map_minimum_at_best_fit(self):
+        obs, systs, sources, signals = make_fixture()
+        data = make_fake_dataset(jax.random.PRNGKey(4), signals, systs,
+                                 [obs], poisson=False)
+        mle = MLE(sources, signals, systs, [obs])
+        res = mle.fit(data)
+        v1 = np.linspace(max(res.value("sig") - 3 * res.error("sig"),
+                             0.01),
+                         res.value("sig") + 3 * res.error("sig"), 9)
+        v2 = np.linspace(max(res.value("bkg") - 3 * res.error("bkg"),
+                             0.01),
+                         res.value("bkg") + 3 * res.error("bkg"), 9)
+        pnll = mle.profile2d("sig", "bkg", v1, v2, res)
+        assert pnll.shape == (9, 9)
+        # Grid minimum sits at the node nearest the best fit, and its
+        # value is >= the unconditional minimum (profiling can't win).
+        i, j = np.unravel_index(np.argmin(pnll), pnll.shape)
+        assert abs(v1[i] - res.value("sig")) <= (v1[1] - v1[0]) + 1e-6
+        assert abs(v2[j] - res.value("bkg")) <= (v2[1] - v2[0]) + 1e-6
+        assert pnll.min() >= res.nll - 0.05
+
+    def test_axis_min_matches_1d_profile(self):
+        """min over one axis of the 2-D map == the 1-D profile (both
+        re-optimize everything else)."""
+        obs, systs, sources, signals = make_fixture()
+        data = make_fake_dataset(jax.random.PRNGKey(4), signals, systs,
+                                 [obs], poisson=False)
+        mle = MLE(sources, signals, [], [obs])
+        res = mle.fit(data)
+        v1 = np.linspace(0.5, 1.5, 5).astype(np.float32)
+        v2 = np.linspace(0.5, 1.5, 21).astype(np.float32)
+        pnll2 = mle.profile2d("sig", "bkg", v1, v2, res)
+        pnll1 = mle.profile("sig", v1, res)
+        # The dense-axis grid min is an upper bound on the continuous
+        # profile (it cannot beat the optimizer), tight up to the grid
+        # discretization ~ curvature * (step/2)^2.
+        gap = pnll2.min(axis=1) - pnll1
+        assert np.all(gap > -0.02), gap
+        assert np.all(gap < 0.3), gap
+
+    def test_rejects_systematics_and_duplicates(self):
+        obs, systs, sources, signals = make_fixture(with_systematic=True)
+        data = make_fake_dataset(jax.random.PRNGKey(4), signals, systs,
+                                 [obs], poisson=False)
+        mle = MLE(sources, signals, systs, [obs])
+        mle.fit(data)
+        with pytest.raises(ValueError):
+            mle.profile2d("sig", "energy_shift_0", [1.0], [0.0])
+        with pytest.raises(ValueError):
+            mle.profile2d("sig", "sig", [1.0], [1.0])
+
+    def test_contour_plot_writes_file(self, tmp_path):
+        from sxmc_tpu.plots import plot_profile2d
+        from sxmc_tpu.stats.mle import profile2d_contour_levels
+
+        levels = profile2d_contour_levels((0.683, 0.95))
+        assert levels[0] == pytest.approx(-np.log(1 - 0.683), abs=1e-9)
+        assert levels[1] == pytest.approx(2.9957, abs=1e-3)
+        v = np.linspace(-2, 2, 15)
+        pnll = 0.5 * (v[:, None] ** 2 + v[None, :] ** 2)
+        out = tmp_path / "c.png"
+        plot_profile2d(v, v, pnll, str(out), "a", "b", best=(0.0, 0.0))
+        assert out.exists() and out.stat().st_size > 0
