@@ -172,6 +172,14 @@ def run_ensemble(
                 "w") as f:
             json.dump({"ntoys": bias_toys, "cl": fc.confidence,
                        "summary": summary}, f, indent=1)
+        if fc.plots:
+            try:
+                from sxmc_tpu.plots import plot_pulls
+
+                plot_pulls(ps, os.path.join(
+                    output_path, f"{fc.output_prefix}_pulls.png"))
+            except Exception as e:  # plotting must never kill the fit
+                log(f"bias study: plotting failed: {e}")
 
     key = jax.random.PRNGKey(fc.seed)
     limits: List[float] = []

@@ -212,3 +212,29 @@ def plot_profile2d(
     fig.tight_layout()
     fig.savefig(outpath, dpi=120)
     plt.close(fig)
+
+
+def plot_pulls(study, outpath: str, bins: int = 25) -> None:
+    """Pull histograms per free rate from a stats.bias.PullStudy,
+    overlaid with the unit Gaussian an unbiased fit must follow."""
+    pulls = study.pulls
+    n = len(study.names)
+    fig, axes = plt.subplots(1, n, figsize=(4.2 * n, 3.6),
+                             squeeze=False)
+    x = np.linspace(-4, 4, 200)
+    summary = study.summary()
+    for j, (ax, name) in enumerate(zip(axes[0], study.names)):
+        p = pulls[:, j]
+        p = p[np.isfinite(p)]
+        ax.hist(p, bins=bins, range=(-4, 4), density=True,
+                color=_COLORS[j % len(_COLORS)], alpha=0.65)
+        ax.plot(x, np.exp(-0.5 * x * x) / np.sqrt(2 * np.pi),
+                color="#000000", lw=1.2, ls="--")
+        s = summary[name]
+        ax.set_title(f"{name}: mean {s['pull_mean']:+.2f}, "
+                     f"width {s['pull_std']:.2f}", fontsize=9)
+        ax.set_xlabel(f"({name} fit − true) / σ")
+    axes[0][0].set_ylabel("toy density")
+    fig.tight_layout()
+    fig.savefig(outpath, dpi=120)
+    plt.close(fig)

@@ -117,3 +117,15 @@ class TestCLIBias:
         assert set(res["summary"]) == {"signal1", "bkg1"}
         for s in res["summary"].values():
             assert s["n_used"] > 0
+
+
+class TestPullPlot:
+    def test_plot_pulls_writes_file(self, model, tmp_path):
+        obs, sources, signals = model
+        mle = MLE(sources, signals, [], [obs])
+        ps = pull_study(mle, 40, jax.random.PRNGKey(9))
+        from sxmc_tpu.plots import plot_pulls
+
+        out = tmp_path / "pulls.png"
+        plot_pulls(ps, str(out))
+        assert out.exists() and out.stat().st_size > 0
