@@ -93,7 +93,8 @@ class PullStudy:
 def pull_study(mle: MLE, ntoys: int, key,
                rates: Optional[Dict[str, float]] = None,
                cl: float = 0.683,
-               fluctuate_systematics: bool = False) -> PullStudy:
+               fluctuate_systematics: bool = False,
+               mesh=None) -> PullStudy:
     """Run a pull/bias study around a gradient MLE.
 
     Args:
@@ -106,6 +107,9 @@ def pull_study(mle: MLE, ntoys: int, key,
         cl: confidence level scored by the coverage column.
         fluctuate_systematics: draw each toy's constrained systematic
             coefficients from their priors at generation.
+        mesh: optional jax.sharding.Mesh — the toy-fit batch is
+            sharded over every mesh axis (identical results,
+            parallel.toys_sharded).
 
     Returns:
         PullStudy over the free (non-fixed) rate parameters.
@@ -125,9 +129,15 @@ def pull_study(mle: MLE, ntoys: int, key,
         fluctuate_systematics=fluctuate_systematics)
     rb = jnp.asarray(np.asarray(mle.stack.compute_read_bins(batch)))
 
-    rhat, err = _toy_fit_batch(
-        mle, rb, mle.stack.device_data, tuple(mle._free_rates),
-        mle.maxiter)
+    if mesh is not None:
+        from sxmc_tpu.parallel.toys_sharded import sharded_pull_batch
+
+        rhat, err = sharded_pull_batch(
+            mesh, mle, rb, tuple(mle._free_rates), mle.maxiter)
+    else:
+        rhat, err = _toy_fit_batch(
+            mle, rb, mle.stack.device_data, tuple(mle._free_rates),
+            mle.maxiter)
     rhat = np.asarray(rhat)
     err = np.asarray(err)
 

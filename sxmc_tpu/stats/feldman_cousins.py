@@ -61,13 +61,19 @@ class FeldmanCousins:
 
     def build_belt(self, key, r_grid: Sequence[float], ntoys: int = 200,
                    cl: float = 0.9, verbose: bool = False,
-                   fluctuate_systematics: bool = False) -> Belt:
+                   fluctuate_systematics: bool = False,
+                   mesh=None) -> Belt:
         """Toy-MC the belt: (G * ntoys) datasets, one vmapped fit batch.
 
         ``fluctuate_systematics=True`` draws each toy's constrained
         systematic coefficients from their priors (generator-level
         propagation; the per-toy fits keep the plug-in theta), which
         widens the belt accordingly.
+
+        ``mesh``: optional jax.sharding.Mesh — the (grid x toys) fit
+        batch is sharded over every mesh axis (identical results,
+        parallel.toys_sharded), so a pod-slice builds the belt in
+        ntoys / ndevices fit-time.
         """
         mle = self.mle
         r_grid = np.asarray(r_grid, np.float32)
@@ -95,10 +101,17 @@ class FeldmanCousins:
         rb = np.asarray(mle.stack.compute_read_bins(batch))
         r_values = np.repeat(r_grid, ntoys)
 
-        dnll, _ = _toy_dnll_batch(
-            mle, jnp.asarray(r_values), jnp.asarray(rb),
-            mle.stack.device_data, self.k,
-            tuple(mle._free_rates), mle.maxiter)
+        if mesh is not None:
+            from sxmc_tpu.parallel.toys_sharded import sharded_toy_dnll
+
+            dnll, _ = sharded_toy_dnll(
+                mesh, mle, r_values, rb, self.k,
+                tuple(mle._free_rates), mle.maxiter)
+        else:
+            dnll, _ = _toy_dnll_batch(
+                mle, jnp.asarray(r_values), jnp.asarray(rb),
+                mle.stack.device_data, self.k,
+                tuple(mle._free_rates), mle.maxiter)
         dnll = np.asarray(dnll).reshape(len(r_grid), ntoys)
 
         crit = np.quantile(dnll, cl, axis=1)
