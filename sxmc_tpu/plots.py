@@ -238,3 +238,47 @@ def plot_pulls(study, outpath: str, bins: int = 25) -> None:
     fig.tight_layout()
     fig.savefig(outpath, dpi=120)
     plt.close(fig)
+
+
+def plot_posterior2d(
+    lspace,
+    name1: str,
+    name2: str,
+    outpath: str,
+    bins: int = 60,
+    cl_list=(0.683, 0.95),
+) -> None:
+    """Joint credible regions of two parameters from MCMC samples.
+
+    The sampler-side counterpart of ``plot_profile2d``: a 2-D histogram
+    of the posterior samples with highest-density credible contours at
+    the given probability levels (the reference's nearest analog is a
+    raw TNtuple scatter, likelihood.cpp:75-101).
+    """
+    x = np.asarray(lspace.column(name1), float)
+    y = np.asarray(lspace.column(name2), float)
+    h, xe, ye = np.histogram2d(x, y, bins=bins)
+    # Highest-density thresholds: smallest density cut enclosing cl.
+    flat = np.sort(h.ravel())[::-1]
+    csum = np.cumsum(flat)
+    total = csum[-1]
+    levels = sorted({float(flat[np.searchsorted(csum, cl * total)])
+                     for cl in cl_list if total > 0})
+    xc = 0.5 * (xe[:-1] + xe[1:])
+    yc = 0.5 * (ye[:-1] + ye[1:])
+
+    fig, ax = plt.subplots(figsize=(6.5, 5.5))
+    pc = ax.pcolormesh(xe, ye, h.T, shading="auto", cmap="viridis")
+    fig.colorbar(pc, ax=ax, label="posterior samples")
+    if levels and levels[0] > 0:
+        ax.contour(xc, yc, h.T, levels=levels, colors="white",
+                   linewidths=1.5)
+    i, j = (lspace.names.index(name1), lspace.names.index(name2))
+    k = int(np.argmin(lspace.nll_values))
+    ax.plot([lspace.samples[k, i]], [lspace.samples[k, j]], marker="*",
+            ms=12, color="#EE6677", mec="white", mew=0.5)
+    ax.set_xlabel(name1)
+    ax.set_ylabel(name2)
+    fig.tight_layout()
+    fig.savefig(outpath, dpi=120)
+    plt.close(fig)

@@ -226,3 +226,19 @@ class TestObservability:
         out2 = str(tmp_path / "cls2.png")
         plot_cls_scan(grid, cls_vals, 0.41, 0.95, out2)
         assert os.path.exists(out2)
+
+
+class TestPosterior2DPlot:
+    def test_writes_file_and_contours(self, tmp_path):
+        from sxmc_tpu.plots import plot_posterior2d
+        from sxmc_tpu.stats.likelihood import LikelihoodSpace
+
+        rng = np.random.default_rng(0)
+        n = 20000
+        a = rng.normal(1.0, 0.1, n)
+        b = rng.normal(2.0, 0.2, n) + 0.5 * (a - 1.0)
+        nll = 0.5 * (((a - 1) / 0.1) ** 2 + ((b - 2) / 0.2) ** 2)
+        ls = LikelihoodSpace(np.stack([a, b], axis=1), nll, ["a", "b"])
+        out = tmp_path / "post2d.png"
+        plot_posterior2d(ls, "a", "b", str(out))
+        assert out.exists() and out.stat().st_size > 0
