@@ -176,3 +176,27 @@ class TestAsymptoticCLs:
         res2, _, _, w = mle._ensure_fit(None)
         assert w is None                       # observed data unweighted
         assert res2.nll == pytest.approx(nll_before, abs=1e-4)
+
+
+class TestConstrainedPOIWarning:
+    def test_warns_on_constrained_signal(self, model):
+        obs, sources, signals = model
+        import copy
+
+        from sxmc_tpu.signal import Source
+
+        src_s = Source(name="sig", index=0, mean=1.0, sigma=0.1)
+        sigs = [copy.copy(signals[0]), signals[1]]
+        sigs[0].source = src_s
+        mle = MLE([src_s, sources[1]], sigs, [], [obs])
+        with pytest.warns(UserWarning, match="UNCONSTRAINED"):
+            HypoTest(mle, "sig")
+
+    def test_no_warning_unconstrained(self, model):
+        import warnings
+
+        obs, sources, signals = model
+        mle = MLE(sources, signals, [], [obs])
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            HypoTest(mle, "sig")
