@@ -89,3 +89,30 @@ class TestEventStore:
         p.write_bytes(b"not an sxnt file at all")
         with pytest.raises(IOError):
             native.EventStore(str(p))
+
+
+class TestConvertCLI:
+    def test_roundtrip_npz_to_sxnt(self, tmp_path, capsys):
+        from sxmc_tpu.io.convert import main
+        from sxmc_tpu.io.loaders import read_float_table
+
+        rng = np.random.default_rng(0)
+        d1 = rng.normal(size=(50, 2)).astype(np.float32)
+        d2 = rng.normal(size=(30, 2)).astype(np.float32)
+        np.savez(tmp_path / "a.npz", x=d1[:, 0], y=d1[:, 1])
+        np.savez(tmp_path / "b.npz", x=d2[:, 0], y=d2[:, 1])
+        out = tmp_path / "merged.sxnt"
+        assert main([str(tmp_path / "a.npz"), str(tmp_path / "b.npz"),
+                     str(out)]) == 0
+        assert "80 rows" in capsys.readouterr().out
+        data, fields = read_float_table(str(out))
+        assert fields == ["x", "y"]
+        np.testing.assert_allclose(data, np.concatenate([d1, d2]),
+                                   rtol=1e-6)
+
+    def test_usage(self, capsys):
+        from sxmc_tpu.io.convert import main
+
+        assert main([]) == 2
+        assert main(["--help"]) == 0
+        assert "convert" in capsys.readouterr().out
