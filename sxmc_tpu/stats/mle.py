@@ -237,23 +237,43 @@ class MLE(MCMC):
 
         The reference can only approximate this by scatter-plotting
         MCMC samples (likelihood.cpp:75-101); here it is exact and
-        deterministic.  Floating systematics are held at the
-        global-fit optimum (same profile approximation as
-        :meth:`profile`).
+        deterministic.  One of the two parameters may be a systematic
+        coefficient (the PDFs are then rebuilt once per value of it,
+        lax.map'd, with the whole rate axis vmapped inside); OTHER
+        floating systematics are held at the global-fit optimum (same
+        profile approximation as :meth:`profile`).
         """
         result, read_bins, device_data, weights = self._ensure_fit(result)
         k1 = self.parameter_names.index(name1)
         k2 = self.parameter_names.index(name2)
-        if k1 >= self.nsources or k2 >= self.nsources:
-            raise ValueError("profile2d applies to rate parameters; "
-                             "profile systematics one at a time")
         if k1 == k2:
             raise ValueError("profile2d needs two distinct parameters")
+        if k1 >= self.nsources and k2 >= self.nsources:
+            raise ValueError("profile2d supports two rates or one rate "
+                             "+ one systematic coefficient; profile "
+                             "two systematics one at a time")
         values1 = np.asarray(values1, np.float32)
         values2 = np.asarray(values2, np.float32)
-        g1, g2 = np.meshgrid(values1, values2, indexing="ij")
         theta_hat = np.asarray(result.params[self.nsources:], np.float32)
         q_init = self._q_from_params(result.params)
+
+        if k1 >= self.nsources or k2 >= self.nsources:
+            # (rate, systematic): rebuild PDFs per systematic value
+            # (outer lax.map), vmapped rate solves inside.
+            transpose = k1 >= self.nsources
+            k_rate, k_syst = (k2, k1) if transpose else (k1, k2)
+            v_rate, v_syst = ((values2, values1) if transpose
+                              else (values1, values2))
+            free = tuple(i for i in self._free_rates if i != k_rate)
+            pnll = _profile_rate_syst_grid(
+                self, jnp.asarray(v_rate), jnp.asarray(v_syst),
+                k_rate, k_syst - self.nsources, free,
+                jnp.asarray(q_init), jnp.asarray(theta_hat),
+                read_bins, device_data, self.maxiter, weights)
+            pnll = np.asarray(pnll)          # (nsyst, nrate)
+            return pnll if transpose else pnll.T
+
+        g1, g2 = np.meshgrid(values1, values2, indexing="ij")
         free = tuple(i for i in self._free_rates if i not in (k1, k2))
         pnll = _profile_rate_pair_grid(
             self, jnp.asarray(g1.ravel()), jnp.asarray(g2.ravel()),
@@ -595,6 +615,48 @@ def _profile_rate_pair_grid(mle: MLE, v1, v2, k1: int, k2: int, free_idx,
         return f
 
     return jax.vmap(one)(v1, v2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mle", "k_rate", "j_syst", "free_idx", "maxiter"))
+def _profile_rate_syst_grid(mle: MLE, v_rate, v_syst, k_rate: int,
+                            j_syst: int, free_idx, q_init, theta,
+                            read_bins, device_data, maxiter: int,
+                            weights=None):
+    """Profiled NLL over a (rate x systematic) grid.
+
+    Outer lax.map over the systematic values (each re-histograms every
+    PDF once); inner vmap over the pinned-rate solves sharing that
+    rebuild.  Returns (nsyst, nrate)."""
+    base = jnp.concatenate([
+        jnp.asarray(mle.parameter_means[:mle.nsources], jnp.float32),
+        theta])
+    idx = jnp.asarray(free_idx, jnp.int32)
+    x0 = (q_init[idx] if free_idx
+          else jnp.zeros((0,), jnp.float32))
+
+    def one_syst(sv):
+        th = theta.at[j_syst].set(sv)
+        lut, norms = mle.stack.evaluate(th, read_bins, device_data)
+
+        def one_rate(rv):
+            pinned = base.at[k_rate].set(rv).at[
+                mle.nsources + j_syst].set(sv)
+
+            def fun(qf):
+                r = jnp.exp(jnp.clip(qf, -_LOG_CLAMP, _LOG_CLAMP))
+                params = pinned.at[idx].set(r) if free_idx else pinned
+                return nll_fn(params, lut, norms, mle.static, weights)
+
+            if not free_idx:
+                return fun(x0)
+            _, f, _ = _bfgs(fun, x0, maxiter)
+            return f
+
+        return jax.vmap(one_rate)(v_rate)
+
+    return jax.lax.map(one_syst, v_syst)
 
 
 @functools.partial(

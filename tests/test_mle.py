@@ -195,14 +195,12 @@ class TestProfile2D:
         assert np.all(gap > -0.02), gap
         assert np.all(gap < 0.3), gap
 
-    def test_rejects_systematics_and_duplicates(self):
+    def test_rejects_duplicates(self):
         obs, systs, sources, signals = make_fixture(with_systematic=True)
         data = make_fake_dataset(jax.random.PRNGKey(4), signals, systs,
                                  [obs], poisson=False)
         mle = MLE(sources, signals, systs, [obs])
         mle.fit(data)
-        with pytest.raises(ValueError):
-            mle.profile2d("sig", "energy_shift_0", [1.0], [0.0])
         with pytest.raises(ValueError):
             mle.profile2d("sig", "sig", [1.0], [1.0])
 
@@ -218,3 +216,40 @@ class TestProfile2D:
         out = tmp_path / "c.png"
         plot_profile2d(v, v, pnll, str(out), "a", "b", best=(0.0, 0.0))
         assert out.exists() and out.stat().st_size > 0
+
+
+class TestProfile2DRateSyst:
+    def test_rate_syst_map(self):
+        """(rate x systematic) 2-D profile: PDFs rebuilt per syst value,
+        minimum near the best fit, syst-axis min tracks the 1-D syst
+        profile."""
+        obs, systs, sources, signals = make_fixture(with_systematic=True)
+        data = make_fake_dataset(jax.random.PRNGKey(4), signals, systs,
+                                 [obs], poisson=False)
+        mle = MLE(sources, signals, systs, [obs])
+        res = mle.fit(data)
+        v_rate = np.linspace(0.6, 1.4, 7).astype(np.float32)
+        v_syst = np.linspace(-0.1, 0.1, 5).astype(np.float32)
+        pnll = mle.profile2d("sig", "energy_shift_0", v_rate, v_syst,
+                             res)
+        assert pnll.shape == (7, 5)
+        assert pnll.min() >= res.nll - 0.05
+        # Transposed argument order gives the transposed map.
+        pnll_t = mle.profile2d("energy_shift_0", "sig", v_syst, v_rate,
+                               res)
+        np.testing.assert_allclose(pnll_t, pnll.T, atol=1e-4)
+        # Minimizing out the systematic axis approximates the 1-D rate
+        # profile (grid min >= continuous profile).
+        p1 = mle.profile("sig", v_rate, res)
+        gap = pnll.min(axis=1) - p1
+        assert np.all(gap > -0.1), gap
+
+    def test_two_systematics_rejected(self):
+        obs, systs, sources, signals = make_fixture(with_systematic=True)
+        data = make_fake_dataset(jax.random.PRNGKey(4), signals, systs,
+                                 [obs], poisson=False)
+        mle = MLE(sources, signals, systs, [obs])
+        mle.fit(data)
+        with pytest.raises(ValueError):
+            mle.profile2d("energy_shift_0", "energy_shift_0",
+                          [0.0], [0.0])
