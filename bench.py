@@ -342,6 +342,71 @@ def bench_mcmc():
     ]
 
 
+def bench_binned():
+    """Binned vs unbinned per-step cost at the 10^6-data-event scale.
+
+    The binned likelihood regroups the unbinned NLL exactly by
+    (dataset, bin) (ops/nll.binned_nll_pair), so the per-step event
+    term is O(nbins) instead of O(nevents * nsignals).  With a
+    floating systematic the MC rebuild still runs each step; the gap
+    between the two metrics is the pure event-term saving.
+    """
+    import jax
+
+    from sxmc_tpu.mcmc import metropolis
+    from sxmc_tpu.signal import Observable, Signal, Source, Systematic
+    from sxmc_tpu.mcmc.metropolis import MCMC
+
+    rng = np.random.default_rng(6)
+    obs = Observable(name="energy", field="energy", bins=100, lower=5.0,
+                     upper=15.0, field_index=0)
+    syst = Systematic(name="shift", type=0, observable_field="energy",
+                      means=[0.0], sigmas=[0.05],
+                      observable_field_index=0, pidx=[0])
+    sample_fields = ["energy", "DATASET"]
+    n_mc = 1_000_000
+    sig_mc = rng.normal(10, 1, (n_mc, 1)).astype(np.float32)
+    bkg_mc = rng.uniform(5, 15, (n_mc, 1)).astype(np.float32)
+    src_s = Source(name="sig", index=0, mean=1.0)
+    src_b = Source(name="bkg", index=1, mean=1.0, sigma=0.1)
+    sig = Signal.from_table("sig", "s", sig_mc, ["energy"], 0, src_s,
+                            300_000.0, sample_fields, [obs], [], [syst])
+    bkg = Signal.from_table("bkg", "b", bkg_mc, ["energy"], 0, src_b,
+                            700_000.0, sample_fields, [obs], [], [])
+
+    nevents = 1_000_000
+    data = np.stack([rng.uniform(5, 15, nevents).astype(np.float32),
+                     np.zeros(nevents, np.float32)], axis=1)
+
+    out = []
+    for binned in (False, True):
+        mcmc = MCMC([src_s, src_b], [sig, bkg], [syst], [obs],
+                    binned=binned)
+        mcmc.stack.set_data(data)
+        rb = mcmc.stack._read_bins
+        dd = mcmc.stack.device_data
+        p0, nll0, w0 = metropolis.initial_state(mcmc, rb, dd)
+
+        def seg_fn(nsteps, mcmc=mcmc):
+            def f(p0, nll0, w0, rb, *dd):
+                o = metropolis.run_segment(mcmc, p0, nll0, w0, rb, dd,
+                                           jax.random.PRNGKey(1), nsteps)
+                return o[1][0]
+            return f
+
+        n1, n2 = 200, 1000
+        per_step = _slope(seg_fn(n1), seg_fn(n2), n1, n2,
+                          (p0, nll0, w0, rb, *dd))
+        tag = "binned" if binned else "unbinned"
+        out.append({
+            "metric": f"mcmc_steps_per_sec_1M_events_{tag}",
+            "value": 1.0 / per_step, "unit": "steps/s",
+            "detail": f"{tag} NLL, {nevents} data events, 2 signals x "
+                      f"{n_mc} MC rebuilt per step, "
+                      f"{per_step*1e3:.3f} ms/step"})
+    return out
+
+
 def bench_mle():
     """Batched gradient-MLE toy fits/s (the Feldman-Cousins inner loop).
 
@@ -409,7 +474,8 @@ def bench_mle():
 
 def suite():
     """Full benchmark suite; extra metrics -> BENCH_extra.json."""
-    extras = [bench_group()] + bench_mcmc() + [bench_mle()]
+    extras = [bench_group()] + bench_mcmc() + bench_binned() \
+        + [bench_mle()]
     with open("BENCH_extra.json", "w") as f:
         json.dump(extras, f, indent=2)
     for m in extras:

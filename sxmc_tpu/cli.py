@@ -78,6 +78,12 @@ def main(argv=None) -> int:
                              "with NTOYS > 0, also an exact "
                              "posterior-predictive p-value from that "
                              "many simulated toys")
+    parser.add_argument("--binned", action="store_true", default=None,
+                        help="use the binned likelihood (exact "
+                             "regrouping of the unbinned NLL by "
+                             "(dataset, bin) — same posterior, per-step "
+                             "event cost O(nbins) instead of "
+                             "O(nevents)); overrides fit.binned")
     parser.add_argument("--hypotest-band", action="store_true",
                         help="with --hypotest, also compute the median "
                              "and +-1 sigma expected CLs limits (the "
@@ -169,7 +175,8 @@ def main(argv=None) -> int:
                  max_retries=args.max_retries,
                  rate_substeps=args.rate_substeps,
                  gof_toys=args.gof_toys,
-                 bias_toys=args.bias_toys)
+                 bias_toys=args.bias_toys,
+                 binned=args.binned)
     return 0
 
 

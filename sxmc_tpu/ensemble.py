@@ -95,30 +95,35 @@ def run_ensemble(
             from sxmc_tpu.mcmc.hmc import HMC
 
             mcmc = HMC(fc.sources, fc.signals, fc.systematics,
-                       fc.observables)
+                       fc.observables, binned=fc.binned)
         elif sampler == "nuts":
             from sxmc_tpu.mcmc.nuts import NUTS
 
             mcmc = NUTS(fc.sources, fc.signals, fc.systematics,
-                        fc.observables)
+                        fc.observables, binned=fc.binned)
         elif sampler == "stretch":
             from sxmc_tpu.mcmc.stretch import StretchSampler
 
-            mcmc = StretchSampler(fc.sources, fc.signals, fc.systematics,
-                                  fc.observables)
+            mcmc = StretchSampler(fc.sources, fc.signals,
+                                  fc.systematics, fc.observables,
+                                  binned=fc.binned)
         elif sampler == "tempered":
             from sxmc_tpu.mcmc.tempered import TemperedMCMC
 
             mcmc = TemperedMCMC(fc.sources, fc.signals, fc.systematics,
-                                fc.observables)
+                                fc.observables, binned=fc.binned)
         elif sampler == "mle":
             from sxmc_tpu.stats.mle import MLE
 
             mcmc = MLE(fc.sources, fc.signals, fc.systematics,
                        fc.observables)
+            if fc.binned:
+                raise ValueError(
+                    "fit.binned is not yet supported with the MLE "
+                    "sampler; use metropolis/hmc/nuts/stretch/tempered")
         else:
             mcmc = MCMC(fc.sources, fc.signals, fc.systematics,
-                        fc.observables)
+                        fc.observables, binned=fc.binned)
 
     # Export nominal PDFs (sxmc.cpp:45-55) from the batched stack.
     if fc.plots and not fc.samples:
@@ -554,13 +559,16 @@ def main_fit(config_file: str, output_path: str, resume: bool = False,
              max_retries: int = 1,
              rate_substeps: Optional[int] = None,
              gof_toys: int = -1,
-             bias_toys: int = 0) -> List[float]:
+             bias_toys: int = 0,
+             binned: Optional[bool] = None) -> List[float]:
     """Full driver (reference: sxmc.cpp:181-229)."""
     print("sxmc_tpu: Loading configuration...")
     print(f"sxmc_tpu: Configuration: {config_file}")
     fc = FitConfig.from_json_file(config_file, data_root=data_root)
     if rate_substeps is not None:
         fc.rate_substeps = rate_substeps
+    if binned is not None:
+        fc.binned = binned
     print(fc.print())
 
     print("sxmc_tpu: Running ensemble...")

@@ -81,6 +81,12 @@ class FitConfig:
     # Likelihood-space output format: "hdf5" (default), "npz", "csv", or
     # "root" (needs uproot; matches the reference's lspace_<i>.root).
     output_format: str = "hdf5"
+    # Binned likelihood: with histogram PDFs the unbinned extended NLL
+    # regroups EXACTLY by (dataset, bin), so this is a pure speedup —
+    # per-step event cost O(ndatasets * nbins) instead of
+    # O(nevents * nsignals) — not an approximation.  (The reference's
+    # LUT walk is always per-event, pdfz.cpp:411-436.)
+    binned: bool = False
 
     observables: List[Observable] = dataclasses.field(default_factory=list)
     cuts: List[Observable] = dataclasses.field(default_factory=list)
@@ -134,6 +140,7 @@ class FitConfig:
             proposal=str(fit.get("proposal", "diagonal")),
             plot_formats=tuple(fit.get("plot_formats", ["png"])),
             output_format=str(fit.get("output_format", "hdf5")),
+            binned=bool(fit.get("binned", False)),
         )
 
         # Observables and cuts (config.cpp:75-91).

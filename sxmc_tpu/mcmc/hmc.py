@@ -101,18 +101,21 @@ def _make_hmc_fns(hmc: HMC, read_bins, device_data, num_leapfrog: int,
     is_rate = jnp.arange(npar) < nsources
     free = ~fixed
 
+    from sxmc_tpu.mcmc.metropolis import _nll_backend
+
+    evaluate, _, pair = _nll_backend(hmc, read_bins, device_data)
     syst_float = (hmc.nsystematics > 0) and not hmc.systematics_fixed
     if not syst_float:
         theta0 = jnp.asarray(hmc.parameter_means[nsources:], jnp.float32)
-        lut0, norms0 = stack.evaluate(theta0, read_bins, device_data)
+        lut0, norms0 = evaluate(theta0)
 
     def params_nll(params):
         if syst_float:
-            lut, norms = stack.evaluate(params[nsources:], read_bins,
-                                        device_data)
+            lut, norms = evaluate(params[nsources:])
         else:
             lut, norms = lut0, norms0
-        return nll_fn(params, lut, norms, st)
+        hi, lo = pair(params, lut, norms, st)
+        return hi + lo
 
     def to_unconstrained(params):
         # y = log r for rates; identity for systematics.

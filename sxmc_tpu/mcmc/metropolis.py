@@ -33,8 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sxmc_tpu.ops.nll import (NLLStatic, df_diff, nll as nll_fn,
-                              nll_pair as nll_pair_fn)
+from sxmc_tpu.ops.nll import (NLLStatic, binned_nll_pair, df_diff,
+                              nll as nll_fn, nll_pair as nll_pair_fn)
 from sxmc_tpu.pdf.stack import PdfStack
 from sxmc_tpu.signal import Observable, Signal, Source, Systematic
 from sxmc_tpu.stats.likelihood import LikelihoodSpace
@@ -63,7 +63,18 @@ class MCMC:
         signals: Sequence[Signal],
         systematics: Sequence[Systematic],
         observables: Sequence[Observable],
+        binned: bool = False,
     ):
+        """``binned=True`` switches every NLL evaluation to the exact
+        binned regrouping (ops.nll.binned_nll_pair): with histogram
+        PDFs the unbinned extended likelihood is ALGEBRAICALLY equal
+        to the binned one, and the per-step event term drops from
+        O(nevents * nsignals) to O(ndatasets * nbins) — the lever at
+        the 10^7-event scale.  A constructor flag (not a __call__
+        kwarg) on purpose: the jitted runners key their trace cache on
+        the MCMC object, so the mode must be immutable per instance.
+        """
+        self.binned = bool(binned)
         self.nsources = len(sources)
         self.nsignals = len(signals)
         self.sources = list(sources)
@@ -99,6 +110,11 @@ class MCMC:
         self.nsystematics = len(systematics)
 
         self.stack = PdfStack(signals, observables, systematics)
+        if self.binned and getattr(self.stack, "_kde_exact", ()):
+            raise ValueError(
+                "binned likelihood is incompatible with exact-LUT KDE "
+                "signals (their density lives at the event positions, "
+                "not on the bin grid); drop kde_exact or run unbinned")
         # NLLStatic holds HOST (numpy) arrays on purpose: they embed as
         # true XLA constants when closed over in jit.  Capturing device
         # arrays as closure constants degrades dispatch latency ~300x
@@ -279,24 +295,67 @@ def retune_width(mcmc: MCMC, width, phase_samples):
     return jnp.where(fixed, -1.0, new)
 
 
+def _nll_backend(mcmc: MCMC, read_bins, device_data):
+    """Likelihood-mode dispatch shared by every sampler.
+
+    Returns ``(evaluate, evaluate_batch, pair)``:
+      * ``evaluate(theta) -> (lutlike, norms)`` — the theta-dependent
+        PDF state (the per-event LUT, or the raw histograms in binned
+        mode);
+      * ``evaluate_batch(thetas)`` — its fused multi-chain form;
+      * ``pair(params, lutlike, norms, st) -> (hi, lo)`` — the
+        compensated NLL from that state.
+
+    In binned mode the per-dataset data counts are derived from
+    ``read_bins`` inside the trace (PdfStack.counts_from_read_bins),
+    so callers thread exactly the same arguments either way and the
+    blocked/checkpoint steppers carry ``(lutlike, norms)`` unchanged.
+    """
+    stack = mcmc.stack
+    if not getattr(mcmc, "binned", False):
+        def evaluate(theta):
+            return stack.evaluate(theta, read_bins, device_data,
+                                  use_exact_kde=True)
+
+        def evaluate_batch(thetas):
+            return stack.evaluate_batch(thetas, read_bins, device_data,
+                                        use_exact_kde=True)
+
+        return evaluate, evaluate_batch, nll_pair_fn
+
+    counts = stack.counts_from_read_bins(read_bins)
+    mask = stack.dataset_mask
+    bv = stack.bin_volume
+
+    def evaluate(theta):
+        return stack.histograms(theta, device_data)
+
+    def evaluate_batch(thetas):
+        return stack.histograms_batch(thetas, device_data)
+
+    def pair(params, hists, norms, st):
+        return binned_nll_pair(params, hists, norms, st, counts, mask,
+                               bv)
+
+    return evaluate, evaluate_batch, pair
+
+
 def _chain_nll(mcmc: MCMC, read_bins, device_data):
     """theta -> compensated (hi, lo) NLL pair for one chain."""
     st = mcmc.static
     nsources = mcmc.nsources
-    stack = mcmc.stack
+    evaluate, _, pair = _nll_backend(mcmc, read_bins, device_data)
     syst_float = (mcmc.nsystematics > 0) and not mcmc.systematics_fixed
     if not syst_float:
         theta0 = jnp.asarray(mcmc.parameter_means[nsources:], jnp.float32)
-        lut0, norms0 = stack.evaluate(theta0, read_bins, device_data,
-                                      use_exact_kde=True)
+        lut0, norms0 = evaluate(theta0)
 
     def chain_nll(params):
         if syst_float:
-            lut, norms = stack.evaluate(params[nsources:], read_bins,
-                                        device_data, use_exact_kde=True)
+            lut, norms = evaluate(params[nsources:])
         else:
             lut, norms = lut0, norms0
-        return nll_pair_fn(params, lut, norms, st)
+        return pair(params, lut, norms, st)
 
     return chain_nll
 
@@ -498,14 +557,13 @@ def _make_blocked_step(mcmc: MCMC, read_bins, device_data,
     """
     st = mcmc.static
     ns = mcmc.nsources
-    stack = mcmc.stack
     m = rate_substeps
+    evaluate, _, pair = _nll_backend(mcmc, read_bins, device_data)
     # numpy constant: embeds in the executable (never a device closure).
     rate_sel = np.arange(mcmc.nparameters) < ns
 
     def rebuild(params):
-        return stack.evaluate(params[ns:], read_bins, device_data,
-                              use_exact_kde=True)
+        return evaluate(params[ns:])
 
     def init_extras(params):
         return rebuild(params)
@@ -521,7 +579,7 @@ def _make_blocked_step(mcmc: MCMC, read_bins, device_data,
         move = (width > 0) & ~rate_sel
         proposed = jnp.where(move, params + noise, params)
         plut, pnorms = rebuild(proposed)
-        prop_hi, prop_lo = nll_pair_fn(proposed, plut, pnorms, st)
+        prop_hi, prop_lo = pair(proposed, plut, pnorms, st)
         u = jax.random.uniform(keys[0, 1], ())
         delta = df_diff(cur_hi, cur_lo, prop_hi, prop_lo)
         accept = debug_mode | (delta > 0) | (u <= jnp.exp(delta))
@@ -539,7 +597,7 @@ def _make_blocked_step(mcmc: MCMC, read_bins, device_data,
                 width, 0.0)
             mv = (width > 0) & rate_sel
             prop = jnp.where(mv, p + nz, p)
-            phi, plo = nll_pair_fn(prop, lut, norms, st)
+            phi, plo = pair(prop, lut, norms, st)
             uu = jax.random.uniform(ks[1], ())
             d = df_diff(hi, lo, phi, plo)
             a = debug_mode | (d > 0) | (uu <= jnp.exp(d))
@@ -664,22 +722,20 @@ def _chain_nll_batch(mcmc: MCMC, read_bins, device_data, nchains: int):
     """
     st = mcmc.static
     nsources = mcmc.nsources
-    stack = mcmc.stack
+    evaluate, evaluate_batch, pair = _nll_backend(mcmc, read_bins,
+                                                  device_data)
     syst_float = (mcmc.nsystematics > 0) and not mcmc.systematics_fixed
     if not syst_float:
         theta0 = jnp.asarray(mcmc.parameter_means[nsources:], jnp.float32)
-        lut0, norms0 = stack.evaluate(theta0, read_bins, device_data,
-                                      use_exact_kde=True)
+        lut0, norms0 = evaluate(theta0)
 
         def batch_nll(params):
             return jax.vmap(
-                lambda p: nll_pair_fn(p, lut0, norms0, st))(params)
+                lambda p: pair(p, lut0, norms0, st))(params)
     else:
         def batch_nll(params):
-            luts, norms = stack.evaluate_batch(
-                params[:, nsources:], read_bins, device_data,
-                use_exact_kde=True)
-            return jax.vmap(nll_pair_fn, in_axes=(0, 0, 0, None))(
+            luts, norms = evaluate_batch(params[:, nsources:])
+            return jax.vmap(pair, in_axes=(0, 0, 0, None))(
                 params, luts, norms, st)
 
     return batch_nll
@@ -707,12 +763,11 @@ def _run_chains_batched(mcmc: MCMC, chain_keys, read_bins, device_data,
     m = rate_substeps if blocked else 0
     st = mcmc.static
     ns = mcmc.nsources
-    stack = mcmc.stack
+    _, evaluate_batch, pair = _nll_backend(mcmc, read_bins, device_data)
     rate_sel = np.arange(mcmc.nparameters) < ns
 
     def rebuild_batch(params):
-        return stack.evaluate_batch(params[:, ns:], read_bins,
-                                    device_data, use_exact_kde=True)
+        return evaluate_batch(params[:, ns:])
 
     def _accept_update(params, cur_hi, cur_lo, proposed, prop_hi,
                        prop_lo, ka):
@@ -749,7 +804,7 @@ def _run_chains_batched(mcmc: MCMC, chain_keys, read_bins, device_data,
         proposed = jnp.where(move, params + noise, params)
         plut, pnorms = rebuild_batch(proposed)
         prop_hi, prop_lo = jax.vmap(
-            nll_pair_fn, in_axes=(0, 0, 0, None))(
+            pair, in_axes=(0, 0, 0, None))(
                 proposed, plut, pnorms, st)
         params, cur_hi, cur_lo, accept = _accept_update(
             params, cur_hi, cur_lo, proposed, prop_hi, prop_lo,
@@ -766,8 +821,7 @@ def _run_chains_batched(mcmc: MCMC, chain_keys, read_bins, device_data,
             mv = (width > 0) & rate_sel[None, :]
             prop = jnp.where(mv, p + nz, p)
             phi, plo = jax.vmap(
-                nll_pair_fn, in_axes=(0, 0, 0, None))(prop, lut, norms,
-                                                      st)
+                pair, in_axes=(0, 0, 0, None))(prop, lut, norms, st)
             p, hi, lo, a = _accept_update(p, hi, lo, prop, phi, plo,
                                           ks[:, 1])
             return (p, hi, lo, acc + a.astype(jnp.float32)), None

@@ -102,18 +102,21 @@ def _make_nuts_fns(nuts: NUTS, read_bins, device_data, max_depth: int,
     is_rate = jnp.arange(npar) < nsources
     free = ~fixed
 
+    from sxmc_tpu.mcmc.metropolis import _nll_backend
+
+    evaluate, _, pair = _nll_backend(nuts, read_bins, device_data)
     syst_float = (nuts.nsystematics > 0) and not nuts.systematics_fixed
     if not syst_float:
         theta0 = jnp.asarray(nuts.parameter_means[nsources:], jnp.float32)
-        lut0, norms0 = stack.evaluate(theta0, read_bins, device_data)
+        lut0, norms0 = evaluate(theta0)
 
     def params_nll(params):
         if syst_float:
-            lut, norms = stack.evaluate(params[nsources:], read_bins,
-                                        device_data)
+            lut, norms = evaluate(params[nsources:])
         else:
             lut, norms = lut0, norms0
-        return nll_fn(params, lut, norms, st)
+        hi, lo = pair(params, lut, norms, st)
+        return hi + lo
 
     def to_unconstrained(params):
         safe = jnp.maximum(params, 1e-10)

@@ -64,8 +64,10 @@ class TemperedMCMC:
         ntemps: int = 8,
         tmax: float = 32.0,
         swap_every: int = 10,
+        binned: bool = False,
     ):
-        self.mcmc = MCMC(sources, signals, systematics, observables)
+        self.mcmc = MCMC(sources, signals, systematics, observables,
+                         binned=binned)
         self.ntemps = int(ntemps)
         self.tmax = float(tmax)
         self.swap_every = int(swap_every)

@@ -234,3 +234,82 @@ def nll(pars: jnp.ndarray, lut: jnp.ndarray, norms: jnp.ndarray,
     """
     hi, lo = nll_pair(pars, lut, norms, st, weights)
     return hi + lo
+
+
+# ---------------------------------------------------------------------------
+# Binned form of the same likelihood.
+#
+# The PDFs are piecewise constant on the bin grid, so the unbinned
+# extended NLL regroups EXACTLY by (dataset, bin):
+#
+#   sum_i log s(x_i)  ==  sum_{d,b} n_{d,b} * log s_{d,b}
+#
+# with n_{d,b} the data counts and s_{d,b} the mixture density in bin b
+# of dataset d.  This is not an approximation — it is the identical
+# likelihood, with the per-step event term collapsed from
+# O(nevents * nsignals) to O(ndatasets * nbins): at the 10^7-event
+# scale the dominant per-step cost becomes the histogram build alone.
+# (The reference has no binned mode; its eval_pdf LUT walk is always
+# per-event, pdfz.cpp:411-436.)
+
+
+def binned_nll_pair(pars: jnp.ndarray, hists: jnp.ndarray,
+                    norms: jnp.ndarray, st: NLLStatic,
+                    data_counts: jnp.ndarray, ds_mask: jnp.ndarray,
+                    bin_volume: float
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Extended-ML NLL from binned data counts (exact regrouping).
+
+    Args:
+        pars: ``(nparams,)`` parameter vector (rates then systematics).
+        hists: ``(nsignals, total_nbins)`` MC counts at the current
+            systematics (PdfStack.histograms output — no LUT needed).
+        norms: ``(nsignals,)`` in-domain MC counts.
+        st: fit constants.
+        data_counts: ``(ndatasets, total_nbins)`` data (or weighted /
+            Asimov) event counts per dataset bin, from
+            ``PdfStack.data_bin_counts``.  Out-of-domain and
+            unknown-tag events are excluded there, matching the
+            unbinned path's -1/-2 sentinels.
+        ds_mask: ``(ndatasets, nsignals)`` 0/1 — signal j contributes
+            to dataset row d (the binned analog of the -2 dataset
+            sentinel).
+        bin_volume: volume of one bin.
+
+    Returns:
+        (hi, lo) compensated f32 pair; identical semantics to
+        :func:`nll_pair` (same barrier, constraints, accumulation).
+    """
+    pars = jnp.asarray(pars)
+    w = signal_weights(pars, norms, st)
+    # Per-signal density rows; zero-norm rows are all-zero counts, so
+    # the guard divisor is never observed through a nonzero value.
+    dens = hists / (jnp.where(norms > 0, norms, 1.0)[:, None]
+                    * jnp.float32(bin_volume))
+    s = (jnp.asarray(ds_mask, jnp.float32) * w[None, :]) @ dens
+    logs = jnp.where(s > 0, jnp.log(jnp.where(s > 0, s, 1.0)), 0.0)
+    ev_hi, ev_lo = df_sum(logs * data_counts)
+
+    w_hi, w_lo = df_sum(w)
+
+    constrained = st.sigmas > 0
+    z = (pars - st.means) / jnp.where(constrained, st.sigmas, 1.0)
+    con = 0.5 * jnp.sum(jnp.where(constrained, z * z, 0.0))
+
+    hi, lo = df_add(-ev_hi, -ev_lo, w_hi, w_lo)
+    hi, lo = df_add(hi, lo, con, jnp.zeros_like(con))
+
+    neg_rate = jnp.any(pars[:st.nsources] < 0)
+    bad = neg_rate | ~jnp.isfinite(ev_hi)
+    hi = jnp.where(bad, jnp.float32(BARRIER), hi)
+    lo = jnp.where(bad, jnp.float32(0.0), lo)
+    return hi, lo
+
+
+def binned_nll(pars: jnp.ndarray, hists: jnp.ndarray, norms: jnp.ndarray,
+               st: NLLStatic, data_counts: jnp.ndarray,
+               ds_mask: jnp.ndarray, bin_volume: float) -> jnp.ndarray:
+    """Scalar f32 form of :func:`binned_nll_pair`."""
+    hi, lo = binned_nll_pair(pars, hists, norms, st, data_counts,
+                             ds_mask, bin_volume)
+    return hi + lo

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -151,6 +151,13 @@ class PdfStack:
         self.segment_ids_host = seg
         self.n_mc = jnp.asarray([s.n_mc for s in signals], jnp.float32)
         self.datasets = [s.dataset for s in signals]
+        # Unique dataset tags + (ndatasets, nsignals) membership mask —
+        # the binned-likelihood analog of the per-event -2 dataset
+        # sentinel (compute_read_bins).
+        self.unique_datasets = tuple(sorted(set(self.datasets)))
+        self.dataset_mask = np.asarray(
+            [[1.0 if s == d else 0.0 for s in self.datasets]
+             for d in self.unique_datasets], np.float32)
 
         # Weighted MC samples (an extension over the reference, whose
         # weights were planned-but-withdrawn).
@@ -356,6 +363,78 @@ class PdfStack:
         if self._read_bins is None:
             raise RuntimeError("set_data() must be called first")
         return self._read_bins.shape[1]
+
+    def data_bin_counts(self, data: np.ndarray,
+                        weights: Optional[np.ndarray] = None
+                        ) -> jnp.ndarray:
+        """Histogram the DATA events once, per dataset: the binned
+        likelihood's sufficient statistic.
+
+        Uses the identical bin-id math as :meth:`compute_read_bins`
+        (hist_ops.compute_bin_ids), so the binned NLL regroups the
+        unbinned one exactly: out-of-domain events are excluded (the
+        -1 sentinel) and events whose tag matches no signal's dataset
+        fall in no row (the -2 sentinel).  Supports weighted / Asimov
+        events.  Batch leading axes are allowed:
+        ``(..., nevents, nobs + 1) -> (..., ndatasets, total_nbins)``.
+        """
+        data = jnp.asarray(data, jnp.float32)
+        obs = data[..., :self.nobservables]
+        flat = obs.reshape(-1, self.nobservables)
+        ids, valid = hist_ops.compute_bin_ids(
+            flat, self.lower, self.upper, self.nbins)
+        ids = ids.reshape(obs.shape[:-1])
+        valid = valid.reshape(obs.shape[:-1])
+        tags = data[..., self.nobservables]
+        w = (jnp.ones(data.shape[:-1], jnp.float32) if weights is None
+             else jnp.asarray(weights, jnp.float32))
+
+        def one(ids1, valid1, tags1, w1):
+            rows = []
+            for ds in self.unique_datasets:
+                sel = valid1 & (tags1 == ds)
+                rows.append(hist_ops.fixed_bincount(
+                    ids1, jnp.where(sel, w1, 0.0), self.total_nbins))
+            return jnp.stack(rows)
+
+        if data.ndim == 2:
+            return one(ids, valid, tags, w)
+        batch = ids.reshape((-1,) + ids.shape[-1:])
+        out = jax.vmap(one)(batch,
+                            valid.reshape(batch.shape),
+                            tags.reshape(batch.shape),
+                            jnp.broadcast_to(w, tags.shape).reshape(
+                                batch.shape))
+        return out.reshape(data.shape[:-2] +
+                           (len(self.unique_datasets), self.total_nbins))
+
+    def counts_from_read_bins(self, read_bins: jnp.ndarray,
+                              weights: Optional[jnp.ndarray] = None
+                              ) -> jnp.ndarray:
+        """Per-dataset data bin counts derived from per-signal read
+        bins INSIDE jit: ``(nsignals, nevents) -> (ndatasets,
+        total_nbins)``.
+
+        Row j of ``read_bins`` is >= 0 exactly for in-domain events
+        carrying signal j's dataset tag (compute_read_bins sentinels),
+        so one representative row per unique dataset recovers the
+        binned sufficient statistic without a second pass over the raw
+        events — and the bin ids are identical to
+        :meth:`data_bin_counts` by construction.  This is what lets
+        the samplers switch to the binned likelihood while still
+        threading only ``read_bins`` through the jit boundary.
+        """
+        rep = [self.datasets.index(d) for d in self.unique_datasets]
+        w = (jnp.ones(read_bins.shape[-1], jnp.float32)
+             if weights is None else jnp.asarray(weights, jnp.float32))
+        rows = []
+        for j in rep:
+            rb = read_bins[..., j, :]
+            sel = rb >= 0
+            rows.append(hist_ops.fixed_bincount(
+                jnp.where(sel, rb, 0).astype(jnp.int32),
+                jnp.where(sel, w, 0.0), self.total_nbins))
+        return jnp.stack(rows, axis=-2)
 
     # ------------------------------------------------------------------
 
