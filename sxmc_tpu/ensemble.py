@@ -116,11 +116,7 @@ def run_ensemble(
             from sxmc_tpu.stats.mle import MLE
 
             mcmc = MLE(fc.sources, fc.signals, fc.systematics,
-                       fc.observables)
-            if fc.binned:
-                raise ValueError(
-                    "fit.binned is not yet supported with the MLE "
-                    "sampler; use metropolis/hmc/nuts/stretch/tempered")
+                       fc.observables, binned=fc.binned)
         else:
             mcmc = MCMC(fc.sources, fc.signals, fc.systematics,
                         fc.observables, binned=fc.binned)

@@ -30,9 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from sxmc_tpu.generator import make_fake_dataset_batch
-from sxmc_tpu.ops.nll import nll as nll_fn
 from sxmc_tpu.stats.intervals import chi2_quantile_1dof
-from sxmc_tpu.stats.mle import MLE, _bfgs, _LOG_CLAMP
+from sxmc_tpu.stats.mle import (MLE, _bfgs, _LOG_CLAMP, _mle_eval, _mle_nllf)
 
 
 @dataclasses.dataclass
@@ -167,17 +166,18 @@ def _toy_fit_batch(mle: MLE, read_bins_batch, device_data, free_idx,
     q0 = jnp.log(jnp.maximum(means, 1e-4))[idx]
 
     def one(rb):
-        lut, norms = mle.stack.evaluate(theta, rb, device_data)
+        lut, norms = _mle_eval(mle, theta, rb, device_data)
+        nllf = _mle_nllf(mle, rb)
 
         def fun_q(qf):
             r = jnp.exp(jnp.clip(qf, -_LOG_CLAMP, _LOG_CLAMP))
-            return nll_fn(base.at[idx].set(r), lut, norms, mle.static)
+            return nllf(base.at[idx].set(r), lut, norms)
 
         x, _, _ = _bfgs(fun_q, q0, maxiter)
         rhat = jnp.exp(jnp.clip(x, -_LOG_CLAMP, _LOG_CLAMP))
 
         def fun_r(rf):
-            return nll_fn(base.at[idx].set(rf), lut, norms, mle.static)
+            return nllf(base.at[idx].set(rf), lut, norms)
 
         h = jax.hessian(fun_r)(rhat)
         cov = jnp.linalg.inv(h)

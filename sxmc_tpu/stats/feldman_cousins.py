@@ -31,9 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from sxmc_tpu.generator import make_fake_dataset_batch
-from sxmc_tpu.ops.nll import nll as nll_fn
 from sxmc_tpu.stats.intervals import Interval
-from sxmc_tpu.stats.mle import MLE, _bfgs, _LOG_CLAMP
+from sxmc_tpu.stats.mle import (MLE, _bfgs, _LOG_CLAMP, _mle_eval, _mle_nllf)
 
 
 @dataclasses.dataclass
@@ -210,12 +209,12 @@ def _toy_dnll_batch(mle: MLE, r_values, read_bins_batch, device_data,
     q0_all = jnp.log(jnp.maximum(means, 1e-4))
     free_noK = tuple(i for i in free_idx if i != k)
 
-    def solve(lut, norms, pinned, idxs):
+    def solve(nllf, lut, norms, pinned, idxs):
         idx = jnp.asarray(idxs, jnp.int32)
 
         def fun(qf):
             r = jnp.exp(jnp.clip(qf, -_LOG_CLAMP, _LOG_CLAMP))
-            return nll_fn(pinned.at[idx].set(r), lut, norms, mle.static)
+            return nllf(pinned.at[idx].set(r), lut, norms)
 
         if not idxs:
             return jnp.zeros((0,), jnp.float32), \
@@ -226,9 +225,10 @@ def _toy_dnll_batch(mle: MLE, r_values, read_bins_batch, device_data,
     k_in_free = free_idx.index(k) if k in free_idx else -1
 
     def one(rv, rb):
-        lut, norms = mle.stack.evaluate(theta, rb, device_data)
-        x_hat, f_hat = solve(lut, norms, base, free_idx)
-        _, f_pin = solve(lut, norms, base.at[k].set(rv), free_noK)
+        lut, norms = _mle_eval(mle, theta, rb, device_data)
+        nllf = _mle_nllf(mle, rb)
+        x_hat, f_hat = solve(nllf, lut, norms, base, free_idx)
+        _, f_pin = solve(nllf, lut, norms, base.at[k].set(rv), free_noK)
         rhat = jnp.exp(x_hat[k_in_free]) if k_in_free >= 0 else base[k]
         return jnp.maximum(f_pin - f_hat, 0.0), rhat
 

@@ -35,7 +35,7 @@ import numpy as np
 from scipy.special import erfinv
 
 from sxmc_tpu.mcmc.metropolis import MCMC
-from sxmc_tpu.ops.nll import nll as nll_fn
+from sxmc_tpu.ops.nll import binned_nll, nll as nll_fn
 from sxmc_tpu.stats.intervals import Interval, chi2_quantile_1dof
 
 _LOG_CLAMP = 30.0
@@ -455,7 +455,39 @@ def _interval_from_profile(grid: np.ndarray, pnll: np.ndarray,
 # jitted kernels
 
 
-def _rate_objective(mle: MLE, theta, lut, norms, free_idx, weights=None):
+def _mle_eval(mle: MLE, theta, read_bins, device_data):
+    """theta -> (lutlike, norms) in the active likelihood mode: the
+    per-event LUT, or the raw histograms when ``mle.binned``."""
+    if getattr(mle, "binned", False):
+        return mle.stack.histograms(theta, device_data)
+    return mle.stack.evaluate(theta, read_bins, device_data)
+
+
+def _mle_nllf(mle: MLE, read_bins, weights=None):
+    """(params, lutlike, norms) -> scalar NLL in the active mode.
+
+    Binned mode regroups the unbinned NLL exactly by (dataset, bin)
+    (ops/nll.binned_nll_pair); per-event ``weights`` fold into the
+    data bin counts, which is the identical regrouping of the weighted
+    log term (a weight of k is exactly k identical events)."""
+    if not getattr(mle, "binned", False):
+        def f(params, lut, norms):
+            return nll_fn(params, lut, norms, mle.static, weights)
+
+        return f
+
+    counts = mle.stack.counts_from_read_bins(read_bins, weights)
+    mask = mle.stack.dataset_mask
+    bv = mle.stack.bin_volume
+
+    def f(params, hists, norms):
+        return binned_nll(params, hists, norms, mle.static, counts,
+                          mask, bv)
+
+    return f
+
+
+def _rate_objective(mle: MLE, theta, lut, norms, free_idx, nllf):
     """q_free -> NLL with rates r = exp(q) scattered at free_idx."""
     base = jnp.concatenate([
         jnp.asarray(mle.parameter_means[:mle.nsources], jnp.float32),
@@ -465,7 +497,7 @@ def _rate_objective(mle: MLE, theta, lut, norms, free_idx, weights=None):
     def fun(qf):
         r = jnp.exp(jnp.clip(qf, -_LOG_CLAMP, _LOG_CLAMP))
         params = base.at[idx].set(r) if len(free_idx) else base
-        return nll_fn(params, lut, norms, mle.static, weights)
+        return nllf(params, lut, norms)
 
     return fun
 
@@ -517,8 +549,9 @@ def _bfgs(fun, x0, maxiter):
     jax.jit, static_argnames=("mle", "free_idx", "maxiter"))
 def _solve_rates(mle: MLE, theta, q0, free_idx, read_bins, device_data,
                  maxiter: int, weights=None):
-    lut, norms = mle.stack.evaluate(theta, read_bins, device_data)
-    fun = _rate_objective(mle, theta, lut, norms, free_idx, weights)
+    lut, norms = _mle_eval(mle, theta, read_bins, device_data)
+    fun = _rate_objective(mle, theta, lut, norms, free_idx,
+                          _mle_nllf(mle, read_bins, weights))
     if not free_idx:
         return q0, fun(jnp.zeros((0,), jnp.float32)), jnp.bool_(True)
     x0 = q0[jnp.asarray(free_idx, jnp.int32)]
@@ -533,7 +566,8 @@ def _solve_rates_pinned(mle: MLE, v, k: int, free_idx, q0, theta,
                         read_bins, device_data, maxiter: int,
                         weights=None):
     """Optimize the free rates with rate ``k`` pinned at ``v``."""
-    lut, norms = mle.stack.evaluate(theta, read_bins, device_data)
+    lut, norms = _mle_eval(mle, theta, read_bins, device_data)
+    nllf = _mle_nllf(mle, read_bins, weights)
     base = jnp.concatenate([
         jnp.asarray(mle.parameter_means[:mle.nsources], jnp.float32),
         theta]).at[k].set(v)
@@ -542,7 +576,7 @@ def _solve_rates_pinned(mle: MLE, v, k: int, free_idx, q0, theta,
     def fun(qf):
         r = jnp.exp(jnp.clip(qf, -_LOG_CLAMP, _LOG_CLAMP))
         params = base.at[idx].set(r) if free_idx else base
-        return nll_fn(params, lut, norms, mle.static, weights)
+        return nllf(params, lut, norms)
 
     if not free_idx:
         return q0, fun(jnp.zeros((0,), jnp.float32)), jnp.bool_(True)
@@ -558,7 +592,8 @@ def _profile_rate_grid(mle: MLE, values, k: int, free_idx, q_init, theta,
                        read_bins, device_data, maxiter: int,
                        weights=None):
     """Profiled NLL over a grid of one rate: vmapped BFGS solves."""
-    lut, norms = mle.stack.evaluate(theta, read_bins, device_data)
+    lut, norms = _mle_eval(mle, theta, read_bins, device_data)
+    nllf = _mle_nllf(mle, read_bins, weights)
     base = jnp.concatenate([
         jnp.asarray(mle.parameter_means[:mle.nsources], jnp.float32),
         theta])
@@ -570,7 +605,7 @@ def _profile_rate_grid(mle: MLE, values, k: int, free_idx, q_init, theta,
             r = jnp.exp(jnp.clip(qf, -_LOG_CLAMP, _LOG_CLAMP))
             params = (pinned.at[jnp.asarray(free_idx, jnp.int32)].set(r)
                       if free_idx else pinned)
-            return nll_fn(params, lut, norms, mle.static, weights)
+            return nllf(params, lut, norms)
 
         if not free_idx:
             return fun(jnp.zeros((0,), jnp.float32))
@@ -594,7 +629,8 @@ def _profile_rate_pair_grid(mle: MLE, v1, v2, k1: int, k2: int, free_idx,
                             q_init, theta, read_bins, device_data,
                             maxiter: int, weights=None):
     """Profiled NLL with two rates pinned: vmapped over the flat grid."""
-    lut, norms = mle.stack.evaluate(theta, read_bins, device_data)
+    lut, norms = _mle_eval(mle, theta, read_bins, device_data)
+    nllf = _mle_nllf(mle, read_bins, weights)
     base = jnp.concatenate([
         jnp.asarray(mle.parameter_means[:mle.nsources], jnp.float32),
         theta])
@@ -606,7 +642,7 @@ def _profile_rate_pair_grid(mle: MLE, v1, v2, k1: int, k2: int, free_idx,
             r = jnp.exp(jnp.clip(qf, -_LOG_CLAMP, _LOG_CLAMP))
             params = (pinned.at[jnp.asarray(free_idx, jnp.int32)].set(r)
                       if free_idx else pinned)
-            return nll_fn(params, lut, norms, mle.static, weights)
+            return nllf(params, lut, norms)
 
         if not free_idx:
             return fun(jnp.zeros((0,), jnp.float32))
@@ -636,9 +672,11 @@ def _profile_rate_syst_grid(mle: MLE, v_rate, v_syst, k_rate: int,
     x0 = (q_init[idx] if free_idx
           else jnp.zeros((0,), jnp.float32))
 
+    nllf = _mle_nllf(mle, read_bins, weights)
+
     def one_syst(sv):
         th = theta.at[j_syst].set(sv)
-        lut, norms = mle.stack.evaluate(th, read_bins, device_data)
+        lut, norms = _mle_eval(mle, th, read_bins, device_data)
 
         def one_rate(rv):
             pinned = base.at[k_rate].set(rv).at[
@@ -647,7 +685,7 @@ def _profile_rate_syst_grid(mle: MLE, v_rate, v_syst, k_rate: int,
             def fun(qf):
                 r = jnp.exp(jnp.clip(qf, -_LOG_CLAMP, _LOG_CLAMP))
                 params = pinned.at[idx].set(r) if free_idx else pinned
-                return nll_fn(params, lut, norms, mle.static, weights)
+                return nllf(params, lut, norms)
 
             if not free_idx:
                 return fun(x0)
@@ -670,10 +708,12 @@ def _profile_syst_grid(mle: MLE, values, j: int, free_idx, q_init, theta,
     mcmc.cpp:264-271); lax.map holds one grid point in memory at a time.
     """
 
+    nllf = _mle_nllf(mle, read_bins, weights)
+
     def one(v):
         th = theta.at[j].set(v)
-        lut, norms = mle.stack.evaluate(th, read_bins, device_data)
-        fun = _rate_objective(mle, th, lut, norms, free_idx, weights)
+        lut, norms = _mle_eval(mle, th, read_bins, device_data)
+        fun = _rate_objective(mle, th, lut, norms, free_idx, nllf)
         if not free_idx:
             return fun(jnp.zeros((0,), jnp.float32))
         x0 = q_init[jnp.asarray(free_idx, jnp.int32)]
@@ -698,11 +738,12 @@ def _free_hessian(mle: MLE, params, free_idx, read_bins, device_data,
     # Histograms evaluated once at the optimum: exact for the rates, and
     # the almost-everywhere-correct choice for systematic coefficients
     # (their event term is locally flat in theta).
-    lut0, norms0 = mle.stack.evaluate(params[mle.nsources:], read_bins,
-                                      device_data)
+    lut0, norms0 = _mle_eval(mle, params[mle.nsources:], read_bins,
+                             device_data)
+    nllf = _mle_nllf(mle, read_bins, weights)
 
     def fun(x):
         p = params.at[idx].set(x)
-        return nll_fn(p, lut0, norms0, mle.static, weights)
+        return nllf(p, lut0, norms0)
 
     return jax.hessian(fun)(params[idx])

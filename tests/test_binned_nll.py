@@ -238,6 +238,46 @@ class TestBinnedSampler:
             MCMC([src], [sig], [], [obs], binned=True)
 
 
+class TestBinnedMLE:
+    def test_fit_matches_unbinned(self):
+        from sxmc_tpu.stats.mle import MLE
+
+        rng = np.random.default_rng(21)
+        obs = Observable(name="energy", field="energy", bins=20,
+                         lower=5.0, upper=15.0, field_index=0)
+        systs = [Systematic(
+            name="energy_shift", type=0, observable_field="energy",
+            means=[0.0], sigmas=[0.05], observable_field_index=0,
+            pidx=[0])]
+        sf = ["energy", "DATASET"]
+        src_s = Source(name="sig", index=0, mean=1.0, sigma=0.0)
+        src_b = Source(name="bkg", index=1, mean=1.0, sigma=0.1)
+        sig = Signal.from_table(
+            "sig", "S", rng.normal(10, 1, (20000, 1)).astype(np.float32),
+            ["energy"], 0, src_s, 200.0, sf, [obs], [], systs)
+        bkg = Signal.from_table(
+            "bkg", "B", rng.uniform(5, 15, (20000, 1)).astype(np.float32),
+            ["energy"], 0, src_b, 400.0, sf, [obs], [], [])
+        e = np.concatenate([rng.normal(10, 1, 200),
+                            rng.uniform(5, 15, 400)]).astype(np.float32)
+        data = np.stack([e, np.zeros_like(e)], axis=1)
+
+        res_u = MLE([src_s, src_b], [sig, bkg], systs, [obs],
+                    binned=False).fit(data)
+        res_b = MLE([src_s, src_b], [sig, bkg], systs, [obs],
+                    binned=True).fit(data)
+        # Same likelihood surface to ~1e-6: identical optimum.
+        np.testing.assert_allclose(res_b.nll, res_u.nll,
+                                   rtol=1e-5, atol=5e-3)
+        for name in ("sig", "bkg"):
+            np.testing.assert_allclose(
+                res_b.value(name), res_u.value(name),
+                rtol=5e-4, atol=5e-4)
+            np.testing.assert_allclose(
+                res_b.error(name), res_u.error(name),
+                rtol=2e-2, atol=1e-3)
+
+
 class TestBinnedHMC:
     def test_hmc_binned_runs(self):
         from sxmc_tpu.mcmc.hmc import HMC
