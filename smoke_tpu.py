@@ -375,6 +375,63 @@ def smoke_stack_static():
     _run(check, dd[0], jnp.asarray(mc_dyn), thetas)
 
 
+@case("binned_nll_mix")
+def smoke_binned_nll():
+    """binned_nll_pair on the real TPU: the masked mixture must not
+    SIGABRT the backend (the fenced-einsum hazard of nll_pair applies
+    to the wide-mix branch) and must keep f32 precision (TPU default
+    matmul precision would demote to bf16).  Checked by the exact
+    regrouping identity: binned NLL == unbinned NLL on the same events
+    for both the unrolled (<=32 signals) and einsum (>32) branches."""
+    import jax.numpy as jnp
+
+    from sxmc_tpu.ops.nll import NLLStatic, binned_nll_pair, nll_pair
+
+    rng = np.random.default_rng(9)
+    diff_cases = []
+    for nsig in (4, 40):
+        nbins, nev = 200, 50_000
+        hists = rng.integers(1, 2000, (nsig, nbins)).astype(np.float32)
+        norms = hists.sum(axis=1)
+        bv = 1.0 / nbins
+        ids = rng.integers(0, nbins, nev).astype(np.int32)
+        st = NLLStatic(
+            nexpected=np.full(nsig, 100.0, np.float32),
+            n_mc=norms.copy(),
+            source_id=np.arange(nsig, dtype=np.int32),
+            means=np.ones(nsig, np.float32),
+            sigmas=np.full(nsig, 0.3, np.float32),
+            nsources=nsig)
+        pars = (1.0 + rng.uniform(-0.2, 0.2, nsig)).astype(np.float32)
+        ds_mask = np.ones((1, nsig), np.float32)
+        diff_cases.append((nsig, jnp.asarray(hists), jnp.asarray(norms),
+                           jnp.asarray(ids), jnp.asarray(pars), st, bv,
+                           ds_mask))
+
+    def check(*flat):
+        diff = jnp.float32(0)
+        i = 0
+        for (nsig, _, _, _, _, st, bv, ds_mask) in diff_cases:
+            hists, norms, ids, pars = flat[i:i + 4]
+            i += 4
+            lut = hists[:, :] / (norms[:, None] * bv)
+            lut = lut[:, ids]
+            u_hi, u_lo = nll_pair(pars, lut, norms, st)
+            counts = jnp.zeros((1, hists.shape[1]), jnp.float32
+                               ).at[0, ids].add(1.0)
+            b_hi, b_lo = binned_nll_pair(pars, hists, norms, st, counts,
+                                         ds_mask, bv)
+            d = jnp.abs((u_hi - b_hi) + (u_lo - b_lo))
+            scale = jnp.maximum(jnp.abs(u_hi), 1.0)
+            diff = jnp.maximum(diff, d / scale)
+        return diff
+
+    flat = []
+    for (_, hists, norms, ids, pars, _, _, _) in diff_cases:
+        flat += [hists, norms, ids, pars]
+    _run(check, *flat, atol=5e-6)
+
+
 def main():
     import jax
 

@@ -18,6 +18,15 @@ Design notes:
   * Warmup: dual-averaging step-size adaptation to a target acceptance
     (Hoffman & Gelman 2014, Algorithm 5) plus diagonal mass-matrix
     estimation from the warmup samples.
+  * Exact-LUT KDE signals (kde_exact): like every sampler routed
+    through ``metropolis._nll_backend``, the unbinned likelihood
+    evaluates those rows at the true event coordinates
+    (``stack.evaluate(..., use_exact_kde=True)``) rather than on the
+    bin grid — intentional: for KDE rows the grid LUT is the
+    approximation and the event-coordinate density is the model, and
+    ``jax.grad`` of the potential flows through ``EvalKDE.eval_at``
+    (smooth in theta, unlike the piecewise-constant histogram rows).
+    Covered by tests/test_kde_fit.py::TestKDEExact::test_hmc_nuts.
 """
 
 from __future__ import annotations

@@ -200,6 +200,7 @@ def nll_pair(pars: jnp.ndarray, lut: jnp.ndarray, norms: jnp.ndarray,
             s = s + w[j] * lut0[j]
     else:
         s = jnp.einsum("j,ji->i", w, lut0,
+                       precision=jax.lax.Precision.HIGHEST,
                        preferred_element_type=jnp.float32)
         s = jax.lax.optimization_barrier(s)
     logs = jnp.where(s > 0, jnp.log(jnp.where(s > 0, s, 1.0)), 0.0)
@@ -286,7 +287,24 @@ def binned_nll_pair(pars: jnp.ndarray, hists: jnp.ndarray,
     # the guard divisor is never observed through a nonzero value.
     dens = hists / (jnp.where(norms > 0, norms, 1.0)[:, None]
                     * jnp.float32(bin_volume))
-    s = (jnp.asarray(ds_mask, jnp.float32) * w[None, :]) @ dens
+    # Masked per-dataset mixture.  Mirrors nll_pair: a plain f32 matmul
+    # feeding the variadic df_sum reduce SIGABRTs the XLA:TPU backend
+    # unless fenced, and TPU default matmul precision demotes f32
+    # inputs to bf16 — which would break the compensated-NLL accuracy
+    # invariant (exact accept ratios at NLL ~ 1e7).  nsignals is small,
+    # so unroll the mix elementwise; wide mixes take the fenced
+    # HIGHEST-precision einsum.
+    mw = jnp.asarray(ds_mask, jnp.float32) * w[None, :]
+    nsig = hists.shape[0]
+    if nsig <= 32:
+        s = mw[:, 0, None] * dens[0][None, :]
+        for j in range(1, nsig):
+            s = s + mw[:, j, None] * dens[j][None, :]
+    else:
+        s = jnp.einsum("dj,jb->db", mw, dens,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+        s = jax.lax.optimization_barrier(s)
     logs = jnp.where(s > 0, jnp.log(jnp.where(s > 0, s, 1.0)), 0.0)
     ev_hi, ev_lo = df_sum(logs * data_counts)
 

@@ -243,6 +243,38 @@ class TestKDEExact:
         assert abs(bf["sig"].point_estimate - 1.0) < 0.3, bf["sig"]
         assert abs(bf["bkg"].point_estimate - 1.0) < 0.2, bf["bkg"]
 
+    def test_hmc_nuts_exact_kde_value_and_gradient(self):
+        """HMC/NUTS on a kde_exact stack: the potential evaluates the
+        KDE rows at event coordinates (use_exact_kde=True through
+        _nll_backend) and its gradient flows through EvalKDE.eval_at —
+        with a floating systematic the theta direction must carry a
+        finite, NONZERO gradient (histogram rows are piecewise
+        constant there; the smooth KDE row is what makes HMC move it).
+        """
+        import jax.numpy as jnp
+
+        from sxmc_tpu.mcmc.hmc import HMC, _make_hmc_fns
+
+        obs, systs, sources, signals = self._fixture(with_syst=True)
+        rng = np.random.default_rng(11)
+        data = np.stack([rng.uniform(5, 15, 250).astype(np.float32),
+                         np.zeros(250, np.float32)], axis=1)
+        hmc = HMC(sources, signals, systs, [obs])
+        hmc.stack.set_data(data)
+        fns = _make_hmc_fns(hmc, hmc.stack._read_bins,
+                            hmc.stack.device_data, 4, 0.8)
+        # Value: matches the standalone exact-KDE NLL at the means
+        # (modulo the log-rate Jacobian, which is 0 at rates == 1).
+        U0 = float(fns.potential(fns.q0))
+        ref = hmc.nll(data, hmc.parameter_means)
+        assert np.isfinite(U0)
+        assert abs(U0 - ref) < 1e-2 * max(abs(ref), 1.0), (U0, ref)
+        g = np.asarray(jax.grad(fns.potential)(fns.q0))
+        assert np.isfinite(g).all(), g
+        # theta is the last parameter; exact-KDE density is smooth in
+        # it, so the gradient there is nonzero.
+        assert abs(g[-1]) > 0, g
+
     def test_parallel_ensemble_rejects_exact_kde(self):
         from sxmc_tpu.fitconfig import FitConfig
         from sxmc_tpu.parallel import ensemble as par_ensemble
