@@ -158,6 +158,30 @@ def signal_weights(pars: jnp.ndarray, norms: jnp.ndarray,
     return rates * st.nexpected * norms / st.n_mc
 
 
+def finish_nll(pars: jnp.ndarray, ev_hi, ev_lo, w,
+               st: "NLLStatic") -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared NLL epilogue: event pair + expected-count term +
+    constraints + barrier -> compensated (hi, lo).
+
+    Factored out of :func:`nll_pair` so the fused Pallas step kernel
+    (ops.pallas_step) finishes with bit-identical ops.
+    """
+    w_hi, w_lo = df_sum(w)
+
+    constrained = st.sigmas > 0
+    z = (pars - st.means) / jnp.where(constrained, st.sigmas, 1.0)
+    con = 0.5 * jnp.sum(jnp.where(constrained, z * z, 0.0))
+
+    hi, lo = df_add(-ev_hi, -ev_lo, w_hi, w_lo)
+    hi, lo = df_add(hi, lo, con, jnp.zeros_like(con))
+
+    neg_rate = jnp.any(pars[:st.nsources] < 0)
+    bad = neg_rate | ~jnp.isfinite(ev_hi)
+    hi = jnp.where(bad, jnp.float32(BARRIER), hi)
+    lo = jnp.where(bad, jnp.float32(0.0), lo)
+    return hi, lo
+
+
 def nll_pair(pars: jnp.ndarray, lut: jnp.ndarray, norms: jnp.ndarray,
              st: NLLStatic, weights: jnp.ndarray = None
              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -207,21 +231,7 @@ def nll_pair(pars: jnp.ndarray, lut: jnp.ndarray, norms: jnp.ndarray,
     if weights is not None:
         logs = logs * weights
     ev_hi, ev_lo = df_sum(logs)
-
-    w_hi, w_lo = df_sum(w)
-
-    constrained = st.sigmas > 0
-    z = (pars - st.means) / jnp.where(constrained, st.sigmas, 1.0)
-    con = 0.5 * jnp.sum(jnp.where(constrained, z * z, 0.0))
-
-    hi, lo = df_add(-ev_hi, -ev_lo, w_hi, w_lo)
-    hi, lo = df_add(hi, lo, con, jnp.zeros_like(con))
-
-    neg_rate = jnp.any(pars[:st.nsources] < 0)
-    bad = neg_rate | ~jnp.isfinite(ev_hi)
-    hi = jnp.where(bad, jnp.float32(BARRIER), hi)
-    lo = jnp.where(bad, jnp.float32(0.0), lo)
-    return hi, lo
+    return finish_nll(pars, ev_hi, ev_lo, w, st)
 
 
 def nll(pars: jnp.ndarray, lut: jnp.ndarray, norms: jnp.ndarray,
@@ -307,21 +317,7 @@ def binned_nll_pair(pars: jnp.ndarray, hists: jnp.ndarray,
         s = jax.lax.optimization_barrier(s)
     logs = jnp.where(s > 0, jnp.log(jnp.where(s > 0, s, 1.0)), 0.0)
     ev_hi, ev_lo = df_sum(logs * data_counts)
-
-    w_hi, w_lo = df_sum(w)
-
-    constrained = st.sigmas > 0
-    z = (pars - st.means) / jnp.where(constrained, st.sigmas, 1.0)
-    con = 0.5 * jnp.sum(jnp.where(constrained, z * z, 0.0))
-
-    hi, lo = df_add(-ev_hi, -ev_lo, w_hi, w_lo)
-    hi, lo = df_add(hi, lo, con, jnp.zeros_like(con))
-
-    neg_rate = jnp.any(pars[:st.nsources] < 0)
-    bad = neg_rate | ~jnp.isfinite(ev_hi)
-    hi = jnp.where(bad, jnp.float32(BARRIER), hi)
-    lo = jnp.where(bad, jnp.float32(0.0), lo)
-    return hi, lo
+    return finish_nll(pars, ev_hi, ev_lo, w, st)
 
 
 def binned_nll(pars: jnp.ndarray, hists: jnp.ndarray, norms: jnp.ndarray,

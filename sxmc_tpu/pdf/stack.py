@@ -39,6 +39,26 @@ class MaskedSystematic:
     signal_mask: Tuple[bool, ...]
 
 
+# Test hook: force stacks built while True onto the Pallas path with
+# interpret-mode kernels, so the FULL production code path (packing,
+# per-segment builds, fused NLL) runs under the CPU suite.  Real-TPU
+# behavior is additionally pinned by smoke_tpu.py.
+_FORCE_PALLAS_INTERPRET = [False]
+
+
+class force_pallas_interpret:
+    """Context manager: PdfStacks built inside run Pallas kernels in
+    interpret mode on CPU (tests/test_fused_step.py etc.)."""
+
+    def __enter__(self):
+        _FORCE_PALLAS_INTERPRET[0] = True
+        return self
+
+    def __exit__(self, *exc):
+        _FORCE_PALLAS_INTERPRET[0] = False
+        return False
+
+
 def _host_histogram(samples, lower, upper, nbins, pallas_scale,
                     weights=None):
     """Host (numpy) histogram bit-matching the device bin-id math.
@@ -188,7 +208,10 @@ class PdfStack:
             for s in systematics)
         self.nsyst_params = sum(s.npars for s in systematics)
 
-        self.use_pallas = jax.default_backend() == "tpu"
+        self._interpret = bool(_FORCE_PALLAS_INTERPRET[0]) and \
+            jax.default_backend() != "tpu"
+        self.use_pallas = (jax.default_backend() == "tpu"
+                           or self._interpret)
 
         # --- static/dynamic partition -----------------------------------
         # A binned signal no systematic applies to has a theta-INVARIANT
@@ -326,6 +349,116 @@ class PdfStack:
                     for ms in self._systematics_dyn)
 
         self._read_bins = None  # (nsignals, nevents) after set_data
+        self._fused_hist_init = None  # lazy (_fused_setup)
+
+    # ------------------------------------------------------------------
+    # Fused step path: one Pallas launch for rebuild + LUT + event
+    # log-sum (ops.pallas_step) — the roofline path SURVEY §2.1 names.
+
+    @property
+    def supports_fused(self) -> bool:
+        """True when the single-launch fused NLL path applies: pallas
+        per-segment stacks without MC weights (norm exactness requires
+        integer counts) or KDE rows, with >= 1 dynamic segment."""
+        return (self.use_pallas and self._per_segment
+                and not self.has_kde and not self.has_weights
+                and self._ndyn >= 1)
+
+    def _fused_setup(self) -> None:
+        """Host-side constants for the fused kernel (lazy, once)."""
+        if self._fused_hist_init is not None:
+            return
+        from sxmc_tpu.ops.pallas_hist import _balanced_split
+
+        b1, b2, _ = _balanced_split(self.total_nbins)
+        hist_init = np.zeros((self.nsignals, b1, b2), np.float32)
+        if self._static_idx:
+            flat = np.zeros((len(self._static_idx), b1 * b2),
+                            np.float32)
+            flat[:, :self.total_nbins] = self._static_hists_np
+            hist_init[np.asarray(self._static_idx)] = flat.reshape(
+                -1, b1, b2)
+        # chunk_seg remapped from dynamic-segment ids to GLOBAL signal
+        # indices (static rows hold their precomputed values).
+        dyn_map = np.asarray(self._dyn_idx, np.int32)
+        self._fused_chunk_seg = dyn_map[self._chunk_seg]
+        rows = []
+        systs = []
+        for ms in self._systematics_dyn:
+            if all(ms.signal_mask):
+                systs.append((ms.desc, None))
+            else:
+                g = np.zeros(self.nsignals, np.int32)
+                for j, dyn_i in enumerate(self._dyn_idx):
+                    g[dyn_i] = int(ms.signal_mask[j])
+                systs.append((ms.desc, len(rows)))
+                rows.append(g)
+        self._fused_systs = tuple(systs)
+        self._fused_mask_matrix = (
+            np.asarray(rows, np.int32) if rows
+            else np.ones((1, self.nsignals), np.int32))
+        self._fused_b1b2 = (b1, b2)
+        self._fused_hist_init = hist_init
+
+    def fused_nll_pair(self, params: jnp.ndarray, read_bins, device_data,
+                       st) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Compensated unbinned NLL in ONE Pallas launch + epilogue.
+
+        Semantically identical to ``nll_pair(params,
+        *self.evaluate(theta), st)`` — histogram values and per-event
+        densities are bit-identical; only the event-sum's reduction
+        grouping differs (compensated either way).  ``params`` may be
+        ``(nparams,)`` or ``(nchains, nparams)`` — the batched form is
+        one kernel launch that reads each MC chunk once and unrolls the
+        chains (the lock-step multi-chain step).
+        """
+        from sxmc_tpu.ops import pallas_step
+        from sxmc_tpu.ops.nll import finish_nll, signal_weights
+
+        if not self.supports_fused:
+            raise NotImplementedError(
+                "fused NLL requires a pallas per-segment stack without "
+                "MC weights or KDE rows")
+        self._fused_setup()
+        params = jnp.asarray(params, jnp.float32)
+        theta = params[..., st.nsources:]
+        rates = params[..., st.source_id]
+        a = rates * st.nexpected
+
+        b1, b2 = self._fused_b1b2
+        nev = read_bins.shape[-1]
+        ev_chunk = pallas_step.pick_event_chunk(
+            nev, self.nsignals, b1, b2)
+        npad = -(-nev // ev_chunk) * ev_chunk
+        from sxmc_tpu.ops.pallas_hist import LANES
+
+        rb = jnp.pad(jnp.asarray(read_bins, jnp.int32),
+                     ((0, 0), (0, npad - nev)), constant_values=-2)
+        rb = rb.reshape(self.nsignals, npad // LANES, LANES)
+
+        hist, ev_pairs = pallas_step.pallas_fused_step(
+            device_data[0], self._fused_chunk_seg,
+            self._fused_mask_matrix,
+            jnp.asarray(self._fused_hist_init), rb, theta, a,
+            nfields=self.nfields, nobs=self.nobservables,
+            systematics=self._fused_systs,
+            lower=self.lower_host, upper=self.upper_host,
+            nbins=self.nbins, nsignals=self.nsignals,
+            mc_chunk=self._seg_chunk, ev_chunk=ev_chunk,
+            n_mc=tuple(float(x) for x in np.asarray(self.n_mc)),
+            bin_volume=self.bin_volume, interpret=self._interpret)
+
+        hists = hist.reshape(hist.shape[:-3] + (self.nsignals, b1 * b2)
+                             )[..., :self.total_nbins]
+        norms = hists.sum(axis=-1)
+        ev_hi, ev_lo = pallas_step.reduce_pairs(ev_pairs)
+        if params.ndim == 1:
+            w = signal_weights(params, norms, st)
+            return finish_nll(params, ev_hi, ev_lo, w, st)
+        return jax.vmap(
+            lambda p, n, eh, el: finish_nll(
+                p, eh, el, signal_weights(p, n, st), st))(
+                    params, norms, ev_hi, ev_lo)
 
     # ------------------------------------------------------------------
 
@@ -479,7 +612,7 @@ class PdfStack:
                     systematics=self._pallas_systs,
                     lower=self.lower_host, upper=self.upper_host,
                     nbins=self.nbins, nsegments=nseg,
-                    chunk=self._seg_chunk)
+                    chunk=self._seg_chunk, interpret=self._interpret)
             else:
                 flat = pallas_hist.pallas_histogram(
                     packed, theta_syst,
@@ -488,7 +621,8 @@ class PdfStack:
                     systematics=self._pallas_systs,
                     lower=self.lower_host, upper=self.upper_host,
                     nbins=self.nbins, nsegments=nseg,
-                    has_weights=self._dyn_has_weights)
+                    has_weights=self._dyn_has_weights,
+                    interpret=self._interpret)
             return flat.reshape(nseg, self.total_nbins)
         samples, segment_ids = device_data[0], device_data[1]
         weights = device_data[2] if len(device_data) > 2 else None
@@ -634,7 +768,8 @@ class PdfStack:
             lut = pallas_hist.pallas_eval_lut(
                 hists.reshape(-1), norms, rb,
                 total_nbins=self.total_nbins, nsegments=self.nsignals,
-                bin_volume=self.bin_volume, chunk=chunk)[:, :nev]
+                bin_volume=self.bin_volume, chunk=chunk,
+                interpret=self._interpret)[:, :nev]
         else:
             lut = jax.vmap(evalhist.eval_from_bins,
                            in_axes=(0, 0, None, 0))(
@@ -678,7 +813,7 @@ class PdfStack:
                 systematics=self._pallas_systs,
                 lower=self.lower_host, upper=self.upper_host,
                 nbins=self.nbins, nsegments=self._ndyn,
-                chunk=self._seg_chunk)
+                chunk=self._seg_chunk, interpret=self._interpret)
             dyn = flat.reshape(nchains, self._ndyn, self.total_nbins)
             if self._ndyn == self.nsignals:
                 hists = dyn
@@ -734,7 +869,8 @@ class PdfStack:
                 hists.reshape(-1), norms.reshape(-1), rb_t,
                 total_nbins=self.total_nbins,
                 nsegments=nchains * self.nsignals,
-                bin_volume=self.bin_volume, chunk=chunk)[:, :nev]
+                bin_volume=self.bin_volume, chunk=chunk,
+                interpret=self._interpret)[:, :nev]
             lut = lut.reshape(nchains, self.nsignals, nev)
         else:
             lut = jax.vmap(
