@@ -291,11 +291,13 @@ def bench_mcmc():
     # step — the production nchains>1 path).
     def chains_fn(nchains, nsteps):
         if nchains == 1:
+            # No size-1 vmap: run_segment's fused step kernel must see
+            # the unbatched trace (vmap would route the Pallas call
+            # through the generic batching rule).
             def f(p0, nll0, w0, rb, *dd):
-                keys = jax.random.split(jax.random.PRNGKey(3), 1)
-                run = lambda k: metropolis.run_segment(  # noqa: E731
-                    mcmc, p0, nll0, w0, rb, dd, k, nsteps)[1][0]
-                return jax.vmap(run)(keys).sum()
+                key = jax.random.PRNGKey(3)
+                return metropolis.run_segment(
+                    mcmc, p0, nll0, w0, rb, dd, key, nsteps)[1][0]
             return f
 
         def f(p0, nll0, w0, rb, *dd):

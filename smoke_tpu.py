@@ -375,6 +375,75 @@ def smoke_stack_static():
     _run(check, dd[0], jnp.asarray(mc_dyn), thetas)
 
 
+@case("fused_step")
+def smoke_fused_step():
+    """The fused histogram->LUT->log-sum step kernel on hardware:
+    histogram must equal the split path exactly; the compensated NLL
+    must agree with nll_pair to ulp scale (Mosaic transcendental and
+    FMA rounding may differ from XLA by ~1 ulp per log)."""
+    import jax.numpy as jnp
+
+    from sxmc_tpu.ops.nll import NLLStatic, nll_pair
+    from sxmc_tpu.pdf.stack import PdfStack
+    from sxmc_tpu.signal import Observable, Signal, Source, Systematic
+
+    rng = np.random.default_rng(10)
+    obs = Observable(name="energy", field="energy", bins=100, lower=5.0,
+                     upper=15.0, field_index=0)
+    syst = Systematic(name="shift", type=0, observable_field="energy",
+                      means=[0.0], sigmas=[0.05],
+                      observable_field_index=0, pidx=[0])
+    fields = ["energy", "DATASET"]
+    n_mc = 200_000
+    sig_mc = rng.normal(10, 1, (n_mc, 1)).astype(np.float32)
+    bkg_mc = rng.uniform(5, 15, (n_mc, 1)).astype(np.float32)
+    src_s = Source(name="sig", index=0, mean=1.0)
+    src_b = Source(name="bkg", index=1, mean=1.0, sigma=0.1)
+    sig = Signal.from_table("sig", "s", sig_mc, ["energy"], 0, src_s,
+                            1000.0, fields, [obs], [], [syst])
+    bkg = Signal.from_table("bkg", "b", bkg_mc, ["energy"], 0, src_b,
+                            2000.0, fields, [obs], [], [])
+    stack = PdfStack([sig, bkg], [obs], [syst])
+    if not stack.supports_fused:
+        if INTERPRET:
+            print("  (skipped: CPU stack has no pallas path)",
+                  file=sys.stderr)
+            return
+        raise AssertionError("stack should support the fused path")
+    nevents = 3000
+    data = np.stack([rng.uniform(5, 15, nevents).astype(np.float32),
+                     np.zeros(nevents, np.float32)], axis=1)
+    stack.set_data(data)
+    st = NLLStatic(
+        nexpected=np.asarray([1000.0, 2000.0], np.float32),
+        n_mc=np.asarray([n_mc, n_mc], np.float32),
+        source_id=np.asarray([0, 1], np.int32),
+        means=np.asarray([1.0, 1.0, 0.0], np.float32),
+        sigmas=np.asarray([0.0, 0.1, 0.05], np.float32),
+        nsources=2)
+    rb = stack._read_bins
+    dd = stack.device_data
+
+    def check(rb, *dd):
+        diff = jnp.float32(0)
+        for pv in ([1.1, 0.9, 0.02], [0.7, 1.4, -0.04]):
+            params = jnp.asarray(pv, jnp.float32)
+            f_hi, f_lo = stack.fused_nll_pair(params, rb, dd, st)
+            lut, norms = stack.evaluate(params[2:], rb, dd)
+            u_hi, u_lo = nll_pair(params, lut, norms, st)
+            d = jnp.abs((f_hi - u_hi) + (f_lo - u_lo))
+            diff = jnp.maximum(diff, d / jnp.maximum(jnp.abs(u_hi), 1.0))
+        # Batched == single, bitwise.
+        pb = jnp.asarray([[1.1, 0.9, 0.02], [0.7, 1.4, -0.04]],
+                         jnp.float32)
+        b_hi, b_lo = stack.fused_nll_pair(pb, rb, dd, st)
+        s_hi, s_lo = stack.fused_nll_pair(pb[0], rb, dd, st)
+        bd = jnp.abs(b_hi[0] - s_hi) + jnp.abs(b_lo[0] - s_lo)
+        return diff + jnp.where(bd > 5e-6 * jnp.abs(s_hi), jnp.inf, 0.0)
+
+    _run(check, rb, *dd, atol=2e-6)
+
+
 @case("binned_nll_mix")
 def smoke_binned_nll():
     """binned_nll_pair on the real TPU: the masked mixture must not

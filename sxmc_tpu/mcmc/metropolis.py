@@ -268,20 +268,24 @@ def run_segment(mcmc: MCMC, params, cur_nll, width, read_bins,
     are reconstructed from ``params`` at segment start, so checkpoint
     state is identical for both modes.
     """
-    step, init_extras = _make_stepper(mcmc, read_bins, device_data,
-                                      debug_mode, rate_substeps)
+    step, init_extras, m = _make_stepper(mcmc, read_bins, device_data,
+                                         debug_mode, rate_substeps,
+                                         allow_fused=True)
     keys = jax.random.split(key, nsteps)
+    xs = _presample(keys, mcmc.nparameters, m)
     carry = (params, cur_nll, width) + tuple(init_extras(params))
-    carry, (samples, nlls, accepts) = jax.lax.scan(step, carry, keys)
+    carry, (samples, nlls, accepts) = jax.lax.scan(step, carry, xs)
     params, cur_nll = carry[0], carry[1]
     return params, cur_nll, samples, nlls, accepts.mean()
 
 
-@functools.partial(jax.jit, static_argnames=("mcmc",))
-def initial_state(mcmc: MCMC, read_bins, device_data):
+@functools.partial(jax.jit, static_argnames=("mcmc", "allow_fused"))
+def initial_state(mcmc: MCMC, read_bins, device_data,
+                  allow_fused: bool = False):
     """Initial (params, nll_pair, width) for a chain."""
     params0 = jnp.asarray(mcmc.parameter_means, jnp.float32)
-    nll0 = _chain_nll(mcmc, read_bins, device_data)(params0)
+    nll0 = _chain_nll(mcmc, read_bins, device_data,
+                      allow_fused)(params0)
     width0 = jnp.asarray(mcmc.initial_jump_widths())
     return params0, nll0, width0
 
@@ -340,10 +344,34 @@ def _nll_backend(mcmc: MCMC, read_bins, device_data):
     return evaluate, evaluate_batch, pair
 
 
-def _chain_nll(mcmc: MCMC, read_bins, device_data):
+def _fused_ok(mcmc: MCMC, read_bins) -> bool:
+    """True when the single-launch fused NLL kernel
+    (PdfStack.fused_nll_pair) can replace the split
+    rebuild->LUT->nll_pair chain: unbinned likelihood, floating
+    systematics (else there is no per-step rebuild to fuse), a stack
+    on the per-segment Pallas path, and plain (nsignals, nevents) read
+    bins.  Callers must also guarantee the call is NOT under vmap —
+    the fused kernel has a native batched form instead
+    (params.ndim == 2)."""
+    syst_float = (mcmc.nsystematics > 0) and not mcmc.systematics_fixed
+    return (syst_float and not getattr(mcmc, "binned", False)
+            and mcmc.stack.supports_fused
+            and getattr(read_bins, "ndim", 0) == 2)
+
+
+def _chain_nll(mcmc: MCMC, read_bins, device_data,
+               allow_fused: bool = False):
     """theta -> compensated (hi, lo) NLL pair for one chain."""
     st = mcmc.static
     nsources = mcmc.nsources
+    if allow_fused and _fused_ok(mcmc, read_bins):
+        stack = mcmc.stack
+
+        def chain_nll(params):
+            return stack.fused_nll_pair(params, read_bins, device_data,
+                                        st)
+
+        return chain_nll
     evaluate, _, pair = _nll_backend(mcmc, read_bins, device_data)
     syst_float = (mcmc.nsystematics > 0) and not mcmc.systematics_fixed
     if not syst_float:
@@ -360,23 +388,50 @@ def _chain_nll(mcmc: MCMC, read_bins, device_data):
     return chain_nll
 
 
-def _make_step(mcmc: MCMC, read_bins, device_data, debug_mode: bool):
-    chain_nll = _chain_nll(mcmc, read_bins, device_data)
+def _presample(keys, npar: int, m: int = 0):
+    """Pre-generate the whole segment's proposal noise and accept
+    uniforms in ONE batched pass before the scan.
 
-    def step(carry, step_key):
+    The per-step key derivation is replicated exactly (split into
+    k_prop/k_accept for the joint step, the (m+1, 2) grid for the
+    blocked step), so trajectories are BIT-IDENTICAL to in-scan
+    generation — but the threefry/normal/uniform kernels run once as
+    big batched ops instead of 4-5 small launches inside every loop
+    iteration, cutting the fixed per-step overhead.
+
+    Returns xs = (noise, u) with shapes ((n, m+1, npar), (n, m+1)).
+    """
+    if m == 0:
+        ks = jax.vmap(jax.random.split)(keys)
+        noise = jax.vmap(lambda k: jax.random.normal(k, (npar,)))(
+            ks[:, 0])
+        u = jax.vmap(lambda k: jax.random.uniform(k, ()))(ks[:, 1])
+        return noise[:, None, :], u[:, None]
+    ks = jax.vmap(lambda k: jax.random.split(k, 2 * (m + 1)).reshape(
+        m + 1, 2, -1))(keys)
+    noise = jax.vmap(jax.vmap(
+        lambda k: jax.random.normal(k, (npar,))))(ks[:, :, 0])
+    u = jax.vmap(jax.vmap(
+        lambda k: jax.random.uniform(k, ())))(ks[:, :, 1])
+    return noise, u
+
+
+def _make_step(mcmc: MCMC, read_bins, device_data, debug_mode: bool,
+               allow_fused: bool = False):
+    chain_nll = _chain_nll(mcmc, read_bins, device_data, allow_fused)
+
+    def step(carry, xs):
         params, (cur_hi, cur_lo), width = carry
-        k_prop, k_accept = jax.random.split(step_key)
-        noise = jax.random.normal(k_prop, params.shape) * jnp.maximum(
-            width, 0.0)
+        noise_raw, u = xs
+        noise = noise_raw[0] * jnp.maximum(width, 0.0)
         proposed = jnp.where(width > 0, params + noise, params)
         prop_hi, prop_lo = chain_nll(proposed)
-        u = jax.random.uniform(k_accept, ())
         # delta = cur - prop, accurate via the compensated pairs: at
         # NLL ~ 10^7 a plain f32 difference would quantize at ~1 and
         # corrupt the accept ratio (the reference compares doubles,
         # nll_kernels.cpp:66-77).
         delta = df_diff(cur_hi, cur_lo, prop_hi, prop_lo)
-        accept = debug_mode | (delta > 0) | (u <= jnp.exp(delta))
+        accept = debug_mode | (delta > 0) | (u[0] <= jnp.exp(delta))
         params = jnp.where(accept, proposed, params)
         cur_hi = jnp.where(accept, prop_hi, cur_hi)
         cur_lo = jnp.where(accept, prop_lo, cur_lo)
@@ -568,21 +623,18 @@ def _make_blocked_step(mcmc: MCMC, read_bins, device_data,
     def init_extras(params):
         return rebuild(params)
 
-    def step(carry, step_key):
+    def step(carry, xs):
         params, (cur_hi, cur_lo), width, lut, norms = carry
-        keys = jax.random.split(step_key, 2 * (m + 1)).reshape(
-            m + 1, 2, 2)
+        noise_all, u_all = xs  # (m + 1, npar), (m + 1,)
 
         # --- systematic block: propose + full PDF rebuild ------------
-        noise = jax.random.normal(keys[0, 0], params.shape) * \
-            jnp.maximum(width, 0.0)
+        noise = noise_all[0] * jnp.maximum(width, 0.0)
         move = (width > 0) & ~rate_sel
         proposed = jnp.where(move, params + noise, params)
         plut, pnorms = rebuild(proposed)
         prop_hi, prop_lo = pair(proposed, plut, pnorms, st)
-        u = jax.random.uniform(keys[0, 1], ())
         delta = df_diff(cur_hi, cur_lo, prop_hi, prop_lo)
-        accept = debug_mode | (delta > 0) | (u <= jnp.exp(delta))
+        accept = debug_mode | (delta > 0) | (u_all[0] <= jnp.exp(delta))
         params = jnp.where(accept, proposed, params)
         cur_hi = jnp.where(accept, prop_hi, cur_hi)
         cur_lo = jnp.where(accept, prop_lo, cur_lo)
@@ -591,14 +643,13 @@ def _make_blocked_step(mcmc: MCMC, read_bins, device_data,
         acc0 = accept.astype(jnp.float32)
 
         # --- rate block: m cheap fixed-LUT updates --------------------
-        def sub(c2, ks):
+        def sub(c2, xs2):
+            nz_raw, uu = xs2
             p, hi, lo, acc = c2
-            nz = jax.random.normal(ks[0], p.shape) * jnp.maximum(
-                width, 0.0)
+            nz = nz_raw * jnp.maximum(width, 0.0)
             mv = (width > 0) & rate_sel
             prop = jnp.where(mv, p + nz, p)
             phi, plo = pair(prop, lut, norms, st)
-            uu = jax.random.uniform(ks[1], ())
             d = df_diff(hi, lo, phi, plo)
             a = debug_mode | (d > 0) | (uu <= jnp.exp(d))
             p = jnp.where(a, prop, p)
@@ -607,7 +658,8 @@ def _make_blocked_step(mcmc: MCMC, read_bins, device_data,
             return (p, hi, lo, acc + a.astype(jnp.float32)), None
 
         (params, cur_hi, cur_lo, acc), _ = jax.lax.scan(
-            sub, (params, cur_hi, cur_lo, acc0), keys[1:])
+            sub, (params, cur_hi, cur_lo, acc0),
+            (noise_all[1:], u_all[1:]))
         return ((params, (cur_hi, cur_lo), width, lut, norms),
                 (params, (cur_hi, cur_lo), acc / (m + 1)))
 
@@ -615,25 +667,28 @@ def _make_blocked_step(mcmc: MCMC, read_bins, device_data,
 
 
 def _make_stepper(mcmc: MCMC, read_bins, device_data, debug_mode: bool,
-                  rate_substeps: int = 0):
-    """Uniform step factory: returns ``(step, init_extras)``.
+                  rate_substeps: int = 0, allow_fused: bool = False):
+    """Uniform step factory: returns ``(step, init_extras, m)``.
 
     The scan carry is ``(params, (hi, lo), width, *extras)``; extras is
     empty for the joint step and ``(lut, norms)`` for the blocked step.
-    History output is identical for both: (params, nll pair, accept
-    fraction per recorded step).
+    ``step`` consumes pre-generated xs from ``_presample(keys, npar,
+    m)`` (noise and accept uniforms); history output is identical for
+    both modes: (params, nll pair, accept fraction per recorded step).
     """
     if _blocked_enabled(mcmc, rate_substeps):
-        return _make_blocked_step(mcmc, read_bins, device_data,
-                                  debug_mode, rate_substeps)
-    base = _make_step(mcmc, read_bins, device_data, debug_mode)
+        step, init_extras = _make_blocked_step(
+            mcmc, read_bins, device_data, debug_mode, rate_substeps)
+        return step, init_extras, rate_substeps
+    base = _make_step(mcmc, read_bins, device_data, debug_mode,
+                      allow_fused)
 
-    def step(carry, step_key):
+    def step(carry, xs):
         (p, nl, w) = carry[:3]
-        (p, nl, w), out = base((p, nl, w), step_key)
+        (p, nl, w), out = base((p, nl, w), xs)
         return (p, nl, w), out
 
-    return step, lambda params: ()
+    return step, (lambda params: ()), 0
 
 
 @functools.partial(
@@ -643,11 +698,20 @@ def _make_stepper(mcmc: MCMC, read_bins, device_data, debug_mode: bool,
 def _run_chains(mcmc: MCMC, chain_keys, read_bins, device_data,
                 nsteps: int, burnin_steps: int, debug_mode: bool,
                 rate_substeps: int = 0):
-    """Run all chains (vmapped) with two burn-in retuning phases."""
+    """Run all chains (vmapped) with two burn-in retuning phases.
+
+    A single chain runs UNVMAPPED so the fused step kernel applies
+    (Pallas under a size-1 vmap would go through the generic batching
+    rule instead of the kernel's native batched form)."""
+    nchains = chain_keys.shape[0]
     run = functools.partial(_run_single_chain, mcmc, nsteps=nsteps,
                             burnin_steps=burnin_steps,
                             debug_mode=debug_mode,
-                            rate_substeps=rate_substeps)
+                            rate_substeps=rate_substeps,
+                            allow_fused=(nchains == 1))
+    if nchains == 1:
+        s, nl, a = run(chain_keys[0], read_bins, device_data)
+        return s[None], (nl[0][None], nl[1][None]), a[None]
     return jax.vmap(run, in_axes=(0, None, None))(
         chain_keys, read_bins, device_data)
 
@@ -666,12 +730,14 @@ def _run_chains_pooled(mcmc: MCMC, chain_keys, read_bins, device_data,
     all-reduce over the chain axis — the pmean/allgather pattern.
     """
     nchains = chain_keys.shape[0]
-    stepper, init_extras = _make_stepper(mcmc, read_bins, device_data,
-                                         debug_mode, rate_substeps)
+    stepper, init_extras, m = _make_stepper(mcmc, read_bins,
+                                            device_data, debug_mode,
+                                            rate_substeps)
 
     def phase(carry_batch, keys, n):
         def one(carry, k):
-            return jax.lax.scan(stepper, carry, jax.random.split(k, n))
+            xs = _presample(jax.random.split(k, n), mcmc.nparameters, m)
+            return jax.lax.scan(stepper, carry, xs)
 
         return jax.vmap(one)(carry_batch, keys)
 
@@ -713,15 +779,25 @@ def _run_chains_pooled(mcmc: MCMC, chain_keys, read_bins, device_data,
     return samples, nlls, accepts.mean(axis=1)
 
 
-def _chain_nll_batch(mcmc: MCMC, read_bins, device_data, nchains: int):
+def _chain_nll_batch(mcmc: MCMC, read_bins, device_data, nchains: int,
+                     allow_fused: bool = False):
     """(nchains, nparams) -> compensated (hi, lo) arrays of (nchains,).
 
     With floating systematics the nchains PDF rebuilds collapse into
     ONE batched kernel launch (PdfStack.evaluate_batch) instead of
-    nchains independent rebuilds under vmap.
+    nchains independent rebuilds under vmap; with ``allow_fused`` the
+    whole rebuild+LUT+log-sum collapses into the batched fused kernel.
     """
     st = mcmc.static
     nsources = mcmc.nsources
+    if allow_fused and _fused_ok(mcmc, read_bins):
+        stack = mcmc.stack
+
+        def batch_nll(params):
+            return stack.fused_nll_pair(params, read_bins, device_data,
+                                        st)
+
+        return batch_nll
     evaluate, evaluate_batch, pair = _nll_backend(mcmc, read_bins,
                                                   device_data)
     syst_float = (mcmc.nsystematics > 0) and not mcmc.systematics_fixed
@@ -756,7 +832,8 @@ def _run_chains_batched(mcmc: MCMC, chain_keys, read_bins, device_data,
     rate-block updates (blocked Metropolis-within-Gibbs, see
     :func:`_make_blocked_step`)."""
     nchains = chain_keys.shape[0]
-    batch_nll = _chain_nll_batch(mcmc, read_bins, device_data, nchains)
+    batch_nll = _chain_nll_batch(mcmc, read_bins, device_data, nchains,
+                                 allow_fused=True)
     fixed = jnp.asarray(mcmc.parameter_fixed)
     sf = HAARIO / max(mcmc.nfloat, 1)
     blocked = _blocked_enabled(mcmc, rate_substeps)
@@ -770,8 +847,7 @@ def _run_chains_batched(mcmc: MCMC, chain_keys, read_bins, device_data,
         return evaluate_batch(params[:, ns:])
 
     def _accept_update(params, cur_hi, cur_lo, proposed, prop_hi,
-                       prop_lo, ka):
-        u = jax.vmap(lambda k: jax.random.uniform(k, ()))(ka)
+                       prop_lo, u):
         delta = df_diff(cur_hi, cur_lo, prop_hi, prop_lo)
         accept = debug_mode | (delta > 0) | (u <= jnp.exp(delta))
         params = jnp.where(accept[:, None], proposed, params)
@@ -779,27 +855,23 @@ def _run_chains_batched(mcmc: MCMC, chain_keys, read_bins, device_data,
         cur_lo = jnp.where(accept, prop_lo, cur_lo)
         return params, cur_hi, cur_lo, accept
 
-    def step(carry, keys_c):
+    def step(carry, xs):
+        # xs: noise (nchains, 1, npar), u (nchains, 1)
         params, (cur_hi, cur_lo), width = carry
-        kp = keys_c[:, 0]
-        ka = keys_c[:, 1]
-        noise = jax.vmap(
-            lambda k, p: jax.random.normal(k, p.shape))(kp, params)
-        noise = noise * jnp.maximum(width, 0.0)
+        noise_raw, u = xs
+        noise = noise_raw[:, 0] * jnp.maximum(width, 0.0)
         proposed = jnp.where(width > 0, params + noise, params)
         prop_hi, prop_lo = batch_nll(proposed)
         params, cur_hi, cur_lo, accept = _accept_update(
-            params, cur_hi, cur_lo, proposed, prop_hi, prop_lo, ka)
+            params, cur_hi, cur_lo, proposed, prop_hi, prop_lo, u[:, 0])
         return ((params, (cur_hi, cur_lo), width),
                 (params, (cur_hi, cur_lo), accept.astype(jnp.float32)))
 
-    def blocked_step(carry, keys_c):
-        # keys_c: (nchains, m + 1, 2, keysize)
+    def blocked_step(carry, xs):
+        # xs: noise (nchains, m + 1, npar), u (nchains, m + 1)
         params, (cur_hi, cur_lo), width, lut, norms = carry
-        noise = jax.vmap(
-            lambda k, p: jax.random.normal(k, p.shape))(
-                keys_c[:, 0, 0], params)
-        noise = noise * jnp.maximum(width, 0.0)
+        noise_all, u_all = xs
+        noise = noise_all[:, 0] * jnp.maximum(width, 0.0)
         move = (width > 0) & ~rate_sel[None, :]
         proposed = jnp.where(move, params + noise, params)
         plut, pnorms = rebuild_batch(proposed)
@@ -808,41 +880,46 @@ def _run_chains_batched(mcmc: MCMC, chain_keys, read_bins, device_data,
                 proposed, plut, pnorms, st)
         params, cur_hi, cur_lo, accept = _accept_update(
             params, cur_hi, cur_lo, proposed, prop_hi, prop_lo,
-            keys_c[:, 0, 1])
+            u_all[:, 0])
         lut = jnp.where(accept[:, None, None], plut, lut)
         norms = jnp.where(accept[:, None], pnorms, norms)
         acc0 = accept.astype(jnp.float32)
 
-        def sub(c2, ks):
+        def sub(c2, xs2):
+            nz_raw, uu = xs2
             p, hi, lo, acc = c2
-            nz = jax.vmap(
-                lambda k, pp: jax.random.normal(k, pp.shape))(ks[:, 0], p)
-            nz = nz * jnp.maximum(width, 0.0)
+            nz = nz_raw * jnp.maximum(width, 0.0)
             mv = (width > 0) & rate_sel[None, :]
             prop = jnp.where(mv, p + nz, p)
             phi, plo = jax.vmap(
                 pair, in_axes=(0, 0, 0, None))(prop, lut, norms, st)
-            p, hi, lo, a = _accept_update(p, hi, lo, prop, phi, plo,
-                                          ks[:, 1])
+            p, hi, lo, a = _accept_update(p, hi, lo, prop, phi, plo, uu)
             return (p, hi, lo, acc + a.astype(jnp.float32)), None
 
         (params, cur_hi, cur_lo, acc), _ = jax.lax.scan(
             sub, (params, cur_hi, cur_lo, acc0),
-            jnp.moveaxis(keys_c[:, 1:], 1, 0))
+            (jnp.moveaxis(noise_all[:, 1:], 1, 0),
+             jnp.moveaxis(u_all[:, 1:], 1, 0)))
         return ((params, (cur_hi, cur_lo), width, lut, norms),
                 (params, (cur_hi, cur_lo), acc / (m + 1)))
 
-    def phase_keys(ks, n):
-        # (nchains, n, m+1, 2, ...) -> (n, nchains, [m+1,] 2, ...).
+    def phase_xs(ks, n):
+        # Per-chain presampled streams, scan-ordered: noise
+        # (n, nchains, m+1, npar), u (n, nchains, m+1) — bit-identical
+        # to the per-step in-scan key derivation this replaces.
         kpc = 2 * (m + 1)
         split = jax.vmap(lambda k: jax.random.split(k, kpc * n).reshape(
             n, m + 1, 2, -1))(ks)
-        out = jnp.moveaxis(split, 0, 1)
-        return out if blocked else out[:, :, 0]
+        noise = jax.vmap(jax.vmap(jax.vmap(
+            lambda k: jax.random.normal(k, (mcmc.nparameters,)))))(
+                split[:, :, :, 0])
+        u = jax.vmap(jax.vmap(jax.vmap(
+            lambda k: jax.random.uniform(k, ()))))(split[:, :, :, 1])
+        return (jnp.moveaxis(noise, 0, 1), jnp.moveaxis(u, 0, 1))
 
     def run_phase(carry, ks, n):
         return jax.lax.scan(blocked_step if blocked else step, carry,
-                            phase_keys(ks, n))
+                            phase_xs(ks, n))
 
     def retune(width, phase_samples):
         rms = jnp.std(phase_samples, axis=0)  # (nchains, nparams)
@@ -914,18 +991,21 @@ def run_experiment_batch(mcmc: MCMC, keys, read_bins_batch,
 
 def _run_single_chain(mcmc: MCMC, key, read_bins, device_data, *,
                       nsteps: int, burnin_steps: int, debug_mode: bool,
-                      rate_substeps: int = 0):
-    step, init_extras = _make_stepper(mcmc, read_bins, device_data,
-                                      debug_mode, rate_substeps)
+                      rate_substeps: int = 0, allow_fused: bool = False):
+    step, init_extras, m = _make_stepper(mcmc, read_bins, device_data,
+                                         debug_mode, rate_substeps,
+                                         allow_fused=allow_fused)
 
     def run_phase(carry, phase_key, n):
         keys = jax.random.split(phase_key, n)
-        return jax.lax.scan(step, carry, keys)
+        return jax.lax.scan(step, carry,
+                            _presample(keys, mcmc.nparameters, m))
 
     def retune(width, phase_samples):
         return retune_width(mcmc, width, phase_samples)
 
-    params0, nll0, width0 = initial_state(mcmc, read_bins, device_data)
+    params0, nll0, width0 = initial_state(mcmc, read_bins, device_data,
+                                          allow_fused)
 
     k1, k2, k3 = jax.random.split(key, 3)
     carry = (params0, nll0, width0) + tuple(init_extras(params0))
