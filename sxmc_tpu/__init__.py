@@ -12,3 +12,4 @@ __version__ = "0.1.0"
 
 from sxmc_tpu.ops import transforms, histogram, nll  # noqa: F401
 from sxmc_tpu.pdf.evalhist import EvalHist, PdfError  # noqa: F401
+from sxmc_tpu.utils import ConfigError, FitError  # noqa: F401

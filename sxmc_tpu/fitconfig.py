@@ -32,6 +32,7 @@ from typing import Dict, List, Optional
 
 from sxmc_tpu.ops import transforms
 from sxmc_tpu.signal import Observable, Signal, Source, Systematic
+from sxmc_tpu.utils import ConfigError
 
 ERROR_CONTOUR = "contour"
 ERROR_PROJECTION = "projection"
@@ -112,8 +113,14 @@ class FitConfig:
         sig_params = root.get("signals", {})
         src_params = root.get("sources", {})
 
-        assert fit.get("nexperiments", 0) > 0
-        assert fit.get("nsteps", 0) > 0
+        if not fit.get("nexperiments", 0) > 0:
+            raise ConfigError(
+                "fit.nexperiments must be a positive integer "
+                f"(got {fit.get('nexperiments')!r})")
+        if not fit.get("nsteps", 0) > 0:
+            raise ConfigError(
+                "fit.nsteps must be a positive integer "
+                f"(got {fit.get('nsteps')!r})")
 
         error_type = fit.get("error_type", ERROR_CONTOUR)
         if error_type not in _ERROR_TYPES:
@@ -147,7 +154,11 @@ class FitConfig:
         for name in fit.get("observables", []):
             fc.observables.append(Observable.from_dict(name, obs_params[name]))
         for name in fit.get("cuts", []):
-            assert all(o.name != name for o in fc.observables)
+            if any(o.name == name for o in fc.observables):
+                raise ConfigError(
+                    f"cut {name!r} is already a fit observable; a "
+                    "field may appear in fit.observables or fit.cuts, "
+                    "not both")
             fc.cuts.append(Observable.from_dict(name, obs_params[name]))
 
         # Union of systematics and sources over all declared signals, with
@@ -206,7 +217,11 @@ class FitConfig:
             dataset = int(conf["dataset"])
             datasets.add(dataset)
 
-            assert ("rate" in conf) != ("scale" in conf)
+            if ("rate" in conf) == ("scale" in conf):
+                raise ConfigError(
+                    f"signal {name!r} must set exactly one of 'rate' "
+                    "(expected events) or 'scale' (sample scaling), "
+                    f"got {sorted(k for k in conf if k in ('rate', 'scale'))}")
             if "rate" in conf:
                 nexpected = float(conf["rate"])
             else:

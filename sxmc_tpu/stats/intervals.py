@@ -11,6 +11,7 @@ import dataclasses
 import numpy as np
 from scipy.special import erfinv
 from scipy.optimize import curve_fit
+from sxmc_tpu.utils import FitError
 
 
 @dataclasses.dataclass
@@ -65,7 +66,11 @@ class Contour(ErrorEstimator):
         nll = lspace.nll_values
         lmin = nll.min()
         self._mask = (nll - lmin) < delta
-        assert self._mask.sum() > 0
+        if self._mask.sum() == 0:
+            raise FitError(
+                f"no likelihood samples within dNLL < {delta:.3g} of "
+                "the minimum — cannot form a contour interval (raise "
+                "nsteps or check chain mixing)")
         self._nll = nll
 
     def get_interval(self, name: str) -> Interval:

@@ -13,6 +13,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from sxmc_tpu.stats.intervals import Interval, make_error_estimator
+from sxmc_tpu.utils import FitError
 
 
 class LikelihoodSpace:
@@ -21,7 +22,11 @@ class LikelihoodSpace:
     def __init__(self, samples: np.ndarray, nll_values: np.ndarray,
                  names: List[str], cl: float = 0.683,
                  error_type: str = "contour"):
-        assert samples.ndim == 2 and samples.shape[0] == nll_values.shape[0]
+        if samples.ndim != 2 or samples.shape[0] != nll_values.shape[0]:
+            raise FitError(
+                "LikelihoodSpace needs (nsamples, nparams) samples "
+                "with one NLL value per sample; got shapes "
+                f"{samples.shape} and {nll_values.shape}")
         self.samples = np.asarray(samples)
         self.nll_values = np.asarray(nll_values)
         self.names = list(names)
@@ -56,7 +61,11 @@ class LikelihoodSpace:
         """Samples with NLL within delta of the minimum
         (likelihood.cpp:89-101)."""
         mask = (self.nll_values - self.nll_min) < delta
-        assert mask.sum() > 0
+        if mask.sum() == 0:
+            raise FitError(
+                f"no likelihood samples within dNLL < {delta} of the "
+                "minimum — the chain has not explored the mode "
+                "(raise nsteps or check the model)")
         return LikelihoodSpace(self.samples[mask], self.nll_values[mask],
                                self.names, self.cl, self.error_type)
 
@@ -119,5 +128,8 @@ class LikelihoodSpace:
         from sxmc_tpu.io import loaders
 
         data, fields = loaders.read_float_table(filename)
-        assert fields[-1] == "likelihood"
+        if not fields or fields[-1] != "likelihood":
+            raise FitError(
+                f"{filename!r} is not a saved likelihood space (last "
+                f"column must be 'likelihood', got {fields[-1:]!r})")
         return cls(data[:, :-1], data[:, -1], fields[:-1], cl, error_type)

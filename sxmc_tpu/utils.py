@@ -1,10 +1,25 @@
-"""Small helpers (reference: src/utils.{h,cpp})."""
+"""Small helpers (reference: src/utils.{h,cpp}) and typed errors.
+
+The reference validates user input with bare ``assert``
+(config.cpp:43-49) — which crashes without a message and vanishes
+under ``python -O``.  Here user-facing validation raises these typed
+exceptions with actionable messages instead.
+"""
 
 from __future__ import annotations
 
 from typing import Sequence
 
 import numpy as np
+
+
+class ConfigError(ValueError):
+    """Invalid fit configuration (bad JSON values, conflicting keys)."""
+
+
+class FitError(RuntimeError):
+    """A fit or statistics operation cannot proceed (degenerate
+    likelihood space, malformed sample files, empty contours)."""
 
 
 def nint(x: float) -> int:

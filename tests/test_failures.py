@@ -109,3 +109,80 @@ def test_zero_retries(fc3, tmp_path, monkeypatch):
     done = [e for e in _read_metrics(out)
             if e["event"] == "ensemble_done"][0]
     assert done["nfailed"] == 1
+
+
+class TestTypedErrors:
+    """User-facing validation raises ConfigError/FitError with
+    actionable messages (python -O safe — no bare asserts)."""
+
+    def _minimal(self):
+        return {
+            "fit": {"nexperiments": 1, "nsteps": 100,
+                    "experiments": 1, "observables": [], "signals": []},
+            "pdfs": {"observables": {}, "systematics": {}},
+            "signals": {}, "sources": {},
+        }
+
+    def test_nexperiments_nsteps(self):
+        from sxmc_tpu.utils import ConfigError
+
+        for key in ("nexperiments", "nsteps"):
+            conf = self._minimal()
+            conf["fit"][key] = 0
+            with pytest.raises(ConfigError, match=key):
+                FitConfig.from_dict(conf)
+
+    def test_rate_xor_scale(self):
+        from sxmc_tpu.utils import ConfigError
+
+        conf = self._minimal()
+        conf["pdfs"]["observables"]["energy"] = {
+            "field": "energy", "bins": 10, "min": 0.0, "max": 1.0,
+            "units": "u", "title": "E"}
+        conf["fit"]["observables"] = ["energy"]
+        conf["fit"]["signals"] = ["sig"]
+        conf["signals"]["sig"] = {
+            "dataset": 0, "title": "s", "source": "s",
+            "rate": 10.0, "scale": 2.0,
+            "files": [], "systematics": []}
+        conf["sources"]["s"] = {"mean": 1.0, "sigma": 0.0}
+        with pytest.raises(ConfigError, match="exactly one"):
+            FitConfig.from_dict(conf)
+
+    def test_cut_duplicates_observable(self):
+        from sxmc_tpu.utils import ConfigError
+
+        conf = self._minimal()
+        conf["pdfs"]["observables"]["energy"] = {
+            "field": "energy", "bins": 10, "min": 0.0, "max": 1.0,
+            "units": "u", "title": "E"}
+        conf["fit"]["observables"] = ["energy"]
+        conf["fit"]["cuts"] = ["energy"]
+        with pytest.raises(ConfigError, match="cut"):
+            FitConfig.from_dict(conf)
+
+    def test_likelihood_space_shape(self):
+        from sxmc_tpu.stats.likelihood import LikelihoodSpace
+        from sxmc_tpu.utils import FitError
+
+        with pytest.raises(FitError, match="shapes"):
+            LikelihoodSpace(np.zeros((5, 2)), np.zeros(4), ["a", "b"])
+
+    def test_empty_contour(self):
+        from sxmc_tpu.stats.likelihood import LikelihoodSpace
+        from sxmc_tpu.utils import FitError
+
+        ls = LikelihoodSpace(np.zeros((3, 1)), np.ones(3), ["a"])
+        with pytest.raises(FitError, match="dNLL"):
+            ls.get_contour(0.0)
+
+    def test_load_rejects_non_lspace(self, tmp_path):
+        from sxmc_tpu.io import loaders
+        from sxmc_tpu.stats.likelihood import LikelihoodSpace
+        from sxmc_tpu.utils import FitError
+
+        path = str(tmp_path / "notls.npz")
+        loaders.write_float_table(
+            path, np.zeros((3, 2), np.float32), ["a", "b"])
+        with pytest.raises(FitError, match="likelihood"):
+            LikelihoodSpace.load(path)
