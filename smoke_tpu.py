@@ -375,6 +375,57 @@ def smoke_stack_static():
     _run(check, dd[0], jnp.asarray(mc_dyn), thetas)
 
 
+@case("pallas_under_shard_map")
+def smoke_shard_map():
+    """The per-segment kernel INSIDE a shard_map body on a 1-device
+    TPU mesh (the chain_sharded in-shard build): Mosaic must compile
+    and the psum'd result must equal the plain kernel call exactly."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from sxmc_tpu.ops import pallas_hist
+    from sxmc_tpu.ops.transforms import SHIFT, SystematicDesc
+
+    rng = np.random.default_rng(11)
+    n, nseg = 200_000, 3
+    samples = rng.normal(0.5, 0.2, (n, 1)).astype(np.float32)
+    seg = np.sort(rng.integers(0, nseg, n))
+    theta = jnp.asarray([0.012], jnp.float32)
+    syst = SystematicDesc(SHIFT, obs=0, par_indices=(0,))
+    mask = np.ones((1, nseg), np.int32)
+
+    packed, chunk_seg = pallas_hist.pack_samples_per_segment(
+        samples, (0.0,), seg, nseg, chunk=16384)
+    mesh = Mesh(np.asarray(jax.devices()[:1]), axis_names=("event",))
+
+    def kernel_call(packed, chunk_seg, theta):
+        return pallas_hist.pallas_histogram_segmented(
+            packed, chunk_seg, mask, theta, nfields=1, nobs=1,
+            systematics=((syst, None),), lower=(0.0,), upper=(1.0,),
+            nbins=(500,), nsegments=nseg, chunk=16384,
+            interpret=INTERPRET)
+
+    def body(packed_l, chunkseg_l, theta):
+        return jax.lax.psum(
+            kernel_call(packed_l[0], chunkseg_l[0], theta), "event")
+
+    def check(packed_b, chunkseg_b, packed, chunk_seg_j, theta):
+        with mesh:
+            got = jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P("event", None, None, None),
+                          P("event", None, None), P()),
+                out_specs=P(), check_vma=False)(
+                    packed_b, chunkseg_b, theta)
+        ref = kernel_call(packed, chunk_seg_j, theta)
+        return _maxdiff(ref, got)
+
+    _run(check, jnp.asarray(packed[None]),
+         jnp.asarray(chunk_seg[None]), jnp.asarray(packed),
+         jnp.asarray(chunk_seg), theta)
+
+
 @case("fused_step")
 def smoke_fused_step():
     """The fused histogram->LUT->log-sum step kernel on hardware:

@@ -11,9 +11,15 @@ Every shard runs the identical proposal/accept RNG stream, so the chain
 state stays replicated without broadcasts — the whole walk is one
 ``lax.scan`` per phase, as in the single-device path.
 
-(The in-shard histogram uses the jnp MXU-matmul path; on a real
-multi-chip TPU each shard can swap in the Pallas kernel — the shard_map
-body is per-device code.)
+In-shard histogram: on TPU (per-segment Pallas stacks) each shard runs
+the SAME fused Pallas kernel as the single-chip path — the MC samples
+are pre-packed per shard on the host (each shard's slice is its own
+valid per-segment packing, stacked along the sharded leading axis), so
+the shard_map body is exactly the production kernel followed by a
+psum.  The jnp MXU-matmul path remains the fallback (CPU meshes,
+weighted MC, no dynamic segment); tests run the Pallas body in
+interpret mode on the 8-device CPU mesh and smoke_tpu pins
+Pallas-under-shard_map on hardware.
 """
 
 from __future__ import annotations
@@ -122,13 +128,46 @@ def run_sharded_chain(
                    else stack._systematics_dyn)
     nseg_build = max(ndyn, 1)
 
-    def local_hists(samples_l, seg_l, theta):
-        transformed = _apply_masked_systematics(
-            samples_l, seg_l, theta, systematics, nseg_build)
-        dyn_h, _ = hist_ops.segmented_histogram(
-            transformed[:, :len(nbins)], seg_l,
-            jnp.ones(samples_l.shape[0], bool),
-            jnp.asarray(lower), jnp.asarray(upper), nbins, nseg_build)
+    # --- Pallas in-shard build: pre-pack each shard's slice on the
+    # host so the shard body runs the production per-segment kernel
+    # unchanged (one packing per shard, stacked on the sharded axis).
+    use_pallas_body = (stack.use_pallas
+                       and getattr(stack, "_per_segment", False)
+                       and not stack.has_weights and ndyn >= 1)
+    if use_pallas_body:
+        from sxmc_tpu.ops import pallas_hist
+
+        seg_chunk = stack._seg_chunk
+        shard_n = npad // ndev
+        packed_list, cs_list = [], []
+        for d in range(ndev):
+            sl = slice(d * shard_n, (d + 1) * shard_n)
+            pk, cs = pallas_hist.pack_samples_per_segment(
+                samples_p[sl], stack.lower_host, seg_p[sl], nseg_build,
+                chunk=seg_chunk)
+            packed_list.append(pk)
+            cs_list.append(cs)
+        max_chunks = max(c.shape[1] for c in cs_list)
+        nrows_pk = packed_list[0].shape[0]
+        for d in range(ndev):
+            nc = cs_list[d].shape[1]
+            if nc < max_chunks:
+                extra = (max_chunks - nc) * seg_chunk
+                pad = np.full((nrows_pk, extra // 128, 128),
+                              stack.lower_host[0] - 1e9, np.float32)
+                packed_list[d] = np.concatenate(
+                    [packed_list[d], pad], axis=1)
+                cs_list[d] = np.concatenate(
+                    [cs_list[d],
+                     np.zeros((1, max_chunks - nc), np.int32)], axis=1)
+        hist_in_host = (np.stack(packed_list), np.stack(cs_list))
+        hist_in_specs = (P("event", None, None, None),
+                         P("event", None, None))
+    else:
+        hist_in_host = (samples_p, seg_p)
+        hist_in_specs = (P("event"), P("event"))
+
+    def _assemble_static(dyn_h):
         dyn_h = jax.lax.psum(dyn_h, "event")
         if static_base is None:
             hists = dyn_h
@@ -138,7 +177,28 @@ def run_sharded_chain(
                 hists = hists.at[np.asarray(dyn_idx)].set(dyn_h)
         return hists, hists.sum(axis=1)
 
-    def sharded_nll(params, samples_l, seg_l, rb_l, hists0, norms0):
+    def local_hists(hist_in, theta):
+        if use_pallas_body:
+            packed_l, chunkseg_l = hist_in
+            flat = pallas_hist.pallas_histogram_segmented(
+                packed_l[0], chunkseg_l[0], stack._mask_matrix, theta,
+                nfields=stack.nfields, nobs=len(nbins),
+                systematics=stack._pallas_systs,
+                lower=stack.lower_host, upper=stack.upper_host,
+                nbins=nbins, nsegments=nseg_build, chunk=seg_chunk,
+                interpret=stack._interpret)
+            return _assemble_static(
+                flat.reshape(nseg_build, total_nbins))
+        samples_l, seg_l = hist_in
+        transformed = _apply_masked_systematics(
+            samples_l, seg_l, theta, systematics, nseg_build)
+        dyn_h, _ = hist_ops.segmented_histogram(
+            transformed[:, :len(nbins)], seg_l,
+            jnp.ones(samples_l.shape[0], bool),
+            jnp.asarray(lower), jnp.asarray(upper), nbins, nseg_build)
+        return _assemble_static(dyn_h)
+
+    def sharded_nll(params, hist_in, rb_l, hists0, norms0):
         """Compensated (hi, lo) NLL with the event sum psum'd.
 
         Each shard accumulates its local log-sum as a TwoSum pair (the
@@ -147,8 +207,7 @@ def run_sharded_chain(
         so their plain-f32 all-reduce is exact to second order.
         """
         if rebuild:
-            hists, norms = local_hists(samples_l, seg_l,
-                                       params[nsources:])
+            hists, norms = local_hists(hist_in, params[nsources:])
         else:
             hists, norms = hists0, norms0
         lut = jax.vmap(evalhist.eval_from_bins,
@@ -180,19 +239,21 @@ def run_sharded_chain(
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P("event"), P("event"), P(None, "event"), P()),
+        in_specs=(hist_in_specs, P(None, "event"), P()),
         out_specs=(P(), (P(), P()), P()),
+        # pallas_call carries no varying-mesh-axes metadata, so the
+        # vma checker cannot see through the in-shard kernel.
+        check_vma=False,
     )
-    def run(samples_l, seg_l, rb_l, key):
+    def run(hist_in, rb_l, key):
         if not rebuild:
-            hists0, norms0 = local_hists(
-                samples_l, seg_l, jnp.asarray(theta0_np))
+            hists0, norms0 = local_hists(hist_in,
+                                         jnp.asarray(theta0_np))
         else:
             hists0 = norms0 = None
 
         def chain_nll(params):
-            return sharded_nll(params, samples_l, seg_l, rb_l,
-                               hists0, norms0)
+            return sharded_nll(params, hist_in, rb_l, hists0, norms0)
 
         def step(carry, step_key):
             params, (cur_hi, cur_lo), width = carry
@@ -239,13 +300,12 @@ def run_sharded_chain(
         return s3, n3, a3.mean()
 
     with mesh:
-        samples_s = jax.device_put(
-            jnp.asarray(samples_p), NamedSharding(mesh, P("event")))
-        seg_s = jax.device_put(
-            jnp.asarray(seg_p), NamedSharding(mesh, P("event")))
+        hist_in_s = tuple(
+            jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+            for a, spec in zip(hist_in_host, hist_in_specs))
         rb_s = jax.device_put(
             jnp.asarray(rb_p), NamedSharding(mesh, P(None, "event")))
-        chain, nlls, accept = run(samples_s, seg_s, rb_s, key)
+        chain, nlls, accept = run(hist_in_s, rb_s, key)
 
     mcmc.last_accept_rate = float(np.asarray(accept))
     return LikelihoodSpace.from_arrays(
