@@ -474,18 +474,57 @@ def bench_mle():
                       f"each, {per_rep*1e3:.2f} ms/batch"}
 
 
+def _load_recorded_reference():
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_REFERENCE.json")
+    try:
+        with open(path) as f:
+            return {k: v for k, v in json.load(f).items()
+                    if not k.startswith("_")}
+    except (OSError, ValueError):
+        return {}
+
+
 def suite():
-    """Full benchmark suite; extra metrics -> BENCH_extra.json."""
+    """Full benchmark suite; extra metrics -> BENCH_extra.json.
+
+    Every metric carries a machine-readable ``vs_recorded`` ratio
+    against the committed BENCH_REFERENCE.json values (all metrics are
+    throughput: higher is better); a >10% regression on any metric
+    makes ``--suite`` exit nonzero so rounds gate mechanically.  The
+    headline metric additionally carries ``vs_baseline`` against the
+    reference's published K40 number.
+    """
+    ref = _load_recorded_reference()
     extras = [bench_group()] + bench_mcmc() + bench_binned() \
         + [bench_mle()]
+    regressions = []
+    for m in extras:
+        r = ref.get(m["metric"])
+        if r:
+            m["vs_recorded"] = m["value"] / r
+            m["recorded_ref"] = r
+            if m["value"] < 0.9 * r:
+                regressions.append(m["metric"])
     with open("BENCH_extra.json", "w") as f:
         json.dump(extras, f, indent=2)
     for m in extras:
-        print(f"# {m['metric']}: {m['value']:.4g} {m['unit']} "
+        vs = (f" [vs_recorded {m['vs_recorded']:.2f}]"
+              if "vs_recorded" in m else "")
+        print(f"# {m['metric']}: {m['value']:.4g} {m['unit']}{vs} "
               f"({m.get('detail', '')})", file=sys.stderr)
+    if regressions:
+        print(f"# BENCH REGRESSION >10% on: {', '.join(regressions)}",
+              file=sys.stderr)
+        return 1
+    return 0
 
 
 if __name__ == "__main__":
+    rc = 0
     if "--suite" in sys.argv:
-        suite()
+        rc = suite()
     main()
+    sys.exit(rc)

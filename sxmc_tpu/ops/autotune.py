@@ -14,7 +14,10 @@ hysteresis applies: a measured chunk replaces the heuristic only if
 >=10% faster.
 
 Cache location: $SXMC_TPU_AUTOTUNE_CACHE or
-~/.cache/sxmc_tpu/autotune.json.
+~/.cache/sxmc_tpu/autotune.json, overlaid on the SHIPPED verdicts in
+sxmc_tpu/data/autotune_v5e.json (recorded on a v5e chip for the bench
+shapes, so fresh environments start from measured verdicts instead of
+bare heuristics; re-record on new hardware).
 """
 
 from __future__ import annotations
@@ -37,12 +40,21 @@ def cache_path() -> str:
                         "autotune.json")
 
 
+def shipped_path() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        os.pardir, "data", "autotune_v5e.json")
+
+
 def load_cache() -> dict:
-    try:
-        with open(cache_path()) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        return {}
+    """Shipped verdicts overlaid by the user cache (user wins)."""
+    cache: dict = {}
+    for p in (shipped_path(), cache_path()):
+        try:
+            with open(p) as f:
+                cache.update(json.load(f))
+        except (OSError, ValueError):
+            pass
+    return cache
 
 
 def save_cache(cache: dict) -> None:
@@ -90,18 +102,20 @@ def record_tuning(kind: str, total_nbins: int, nsegments: int,
     ``hysteresis`` (pdfz.cpp:712-719 semantics)."""
     best = min(results, key=results.get)
     base = results.get(heuristic_chunk)
-    if base is not None and \
-            results[best] > (1.0 - hysteresis) * base:
-        return None  # not convincingly better: keep the heuristic
+    confirmed = base is not None and \
+        results[best] > (1.0 - hysteresis) * base
     cache = load_cache()
+    # A heuristic-confirming verdict is recorded too (chunk = the
+    # heuristic): the shipped cache then documents a MEASURED verdict
+    # for the shape either way, not just upsets.
     cache[cache_key(kind, total_nbins, nsegments, nsamples)] = {
-        "chunk": int(best),
-        "seconds": results[best],
+        "chunk": int(heuristic_chunk if confirmed else best),
+        "seconds": results[heuristic_chunk if confirmed else best],
         "heuristic_chunk": int(heuristic_chunk),
         "heuristic_seconds": base,
     }
     save_cache(cache)
-    return int(best)
+    return None if confirmed else int(best)
 
 
 def _timed_value(fn, *args) -> float:

@@ -1,12 +1,14 @@
-"""Fused MCMC-step kernel: histogram -> LUT gather -> log-partial-sum.
+"""Fused MCMC-step kernel: histogram -> LUT -> log-sum -> finished NLL.
 
 The last TPU-native component of SURVEY §2.1's NLL row: one Pallas
 launch per Metropolis proposal that replaces the three-launch chain
-(pallas_histogram_segmented + pallas_eval_lut + the XLA mix/log/reduce)
-and never materializes the (nsignals, nevents) LUT.  Reference analog
-being beaten: the fused ``finish_nll_jump_pick_combo`` kernel
+(pallas_histogram_segmented + pallas_eval_lut + the XLA
+mix/log/reduce/finish) and never materializes the
+(nsignals, nevents) LUT.  Reference analog being beaten: the fused
+``finish_nll_jump_pick_combo`` kernel
 (reference: src/nll_kernels.cpp:230-271), which fused only the NLL
-*finish* — here the whole PDF rebuild fuses with the event term.
+*finish* — here the whole PDF rebuild fuses with the event term AND
+the finish.
 
 Grid layout (TPU grids run sequentially per core, so a later grid step
 sees every earlier step's accumulator writes — the same property the
@@ -18,21 +20,25 @@ histogram kernels already rely on):
   step i >= n_mc_chunks  (phase B): per event chunk, recompute the
       in-domain norms from the finished histogram (integer counts: the
       f32 sum is exact below 2^24 samples/signal), form the per-signal
-      weights, gather densities via the bilinear one-hot (same split as
-      pallas_eval_lut), mix them in EXACTLY nll_pair's op order, and
-      accumulate compensated per-lane (hi, lo) log-sum pairs.
-
-Outputs: the (nsignals, b1, b2) histogram table (norms / w-term /
-constraints are finished by a tiny XLA epilogue in
-``PdfStack.fused_nll_pair``) and the (2, g_ev, 128) event pairs.
+      weights from the SMEM parameter row, gather densities via the
+      bilinear one-hot (same split as pallas_eval_lut), mix them in
+      EXACTLY nll_pair's op order, and accumulate compensated per-lane
+      (hi, lo) log-sum pairs.
+  step i == grid - 1     (finish): tree-reduce the pair accumulator to
+      a scalar pair (TwoSum at every combine), add the expected-count
+      term and Gaussian constraints, apply the 1e18 negative-rate /
+      non-finite barrier, and write the finished compensated NLL to a
+      (nchains, 2) output.  The sampler's XLA side is then only the
+      proposal/accept arithmetic.
 
 Exactness contract: the histogram and every per-event density/mix/log
 value are bit-identical to the jnp path (verified in interpret mode by
-tests/test_fused_step.py).  The event-term reduction groups by
-(chunk, lane) position instead of df_sum's (1024-lane) blocking, so
-the final (hi, lo) pair agrees with nll_pair to the compensated
-precision (~2^-48 relative), not bitwise — both are exact at the
-dNLL-resolution the Metropolis accept needs.
+tests/test_fused_step.py; FMA-contraction freedom means ~1-ulp mix
+differences between separately compiled programs, bounded by the
+compensated pairs).  The reductions group differently from df_sum but
+carry TwoSum compensation at every combine, so the finished pair
+agrees with nll_pair to ~2^-48 relative — exact at the dNLL ~ 0.5
+resolution the Metropolis accept needs.
 
 Restrictions (callers fall back to the split path): per-segment packed
 stacks only, no MC weights (norm exactness needs integer counts), no
@@ -42,7 +48,7 @@ KDE rows, no per-event NLL weights.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,34 +60,66 @@ from sxmc_tpu.ops.pallas_hist import LANES, _balanced_split
 from sxmc_tpu.ops import histogram as hist_ops
 
 _EV_VMEM_BUDGET = 8 << 20
+_BARRIER = 1e18
 
 
 def pick_event_chunk(nevents: int, nsignals: int, b1: int, b2: int
                      ) -> int:
-    """Largest 128-multiple event chunk whose phase-B working set
+    """Largest 128 * 2^k event chunk whose phase-B working set
     (rb block + f32 one-hot pair + the (b1, chunk) matmul output)
-    fits the VMEM budget."""
+    fits the VMEM budget.  Power-of-two row counts keep the in-kernel
+    pair tree-reduction to static halving slices."""
     chunk = 65536
     per_el = 4 * (nsignals + (b1 + b2) + b1)
     while chunk > 1024 and chunk * per_el > _EV_VMEM_BUDGET:
         chunk //= 2
-    need = -(-max(nevents, 1) // LANES) * LANES
-    return min(chunk, max(-(-need // 128) * 128, 128)) \
-        if need < chunk else chunk
+    need = 128
+    while need < min(nevents, chunk):
+        need *= 2
+    return min(chunk, need)
+
+
+def _pair_tree_reduce(hi, lo):
+    """(g, 128) compensated pairs -> scalar (hi, lo).
+
+    Halving tree over rows then lanes with a TwoSum at every combine;
+    g must be a power of two (pick_event_chunk guarantees it).
+    """
+    def combine(a_hi, a_lo, b_hi, b_lo):
+        s = a_hi + b_hi
+        bv = s - a_hi
+        err = (a_hi - (s - bv)) + (b_hi - bv)
+        return s, a_lo + b_lo + err
+
+    rows = hi.shape[0]
+    while rows > 1:
+        half = rows // 2
+        hi, lo = combine(hi[:half], lo[:half], hi[half:rows],
+                         lo[half:rows])
+        rows = half
+    width = hi.shape[1]
+    while width > 1:
+        half = width // 2
+        hi, lo = combine(hi[:, :half], lo[:, :half], hi[:, half:width],
+                         lo[:, half:width])
+        width = half
+    return hi[0, 0], lo[0, 0]
 
 
 def _make_fused_kernel(nfields, nobs, systematics, lower, upper, nbins,
                        b1, b2, b2_shift, mc_chunk, ev_chunk, nsignals,
-                       n_mc_chunks, n_mc, bin_volume, nchains):
+                       n_mc_chunks, grid, n_mc, bin_volume, nchains,
+                       nexpected, source_id, means, sigmas, nsources):
     strides = hist_ops.bin_strides(nbins)
     scales = tuple(nbins[i] / (upper[i] - lower[i]) for i in range(nobs))
     g_mc = mc_chunk // LANES
     g_ev = ev_chunk // LANES
     batched = nchains is not None
     nch = nchains if batched else 1
+    npar = len(means)
 
-    def kernel(theta_ref, a_ref, chunk_seg_ref, mask_ref, hist_init_ref,
-               mc_ref, rb_ref, hist_ref, ev_ref):
+    def kernel(pars_ref, chunk_seg_ref, mask_ref, hist_init_ref,
+               mc_ref, rb_ref, hist_ref, ev_ref, nll_ref):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -110,7 +148,7 @@ def _make_fused_kernel(nfields, nobs, systematics, lower, upper, nbins,
                     for k, pidx in enumerate(desc.par_indices):
                         if k > 0:
                             xi = xi * x
-                        p = p + theta_ref[c, pidx] * xi
+                        p = p + pars_ref[c, nsources + pidx] * xi
                     if desc.type == transforms.SHIFT:
                         new = x + p
                     elif desc.type == transforms.SCALE:
@@ -153,6 +191,17 @@ def _make_fused_kernel(nfields, nobs, systematics, lower, upper, nbins,
                 else:
                     hist_ref[:] += seg_onehot * part[None, :, :]
 
+        def norm_w(c, j):
+            block = hist_ref[c, j] if batched else hist_ref[j]
+            # In-domain count: total minus the spare trash cell
+            # (_balanced_split) — integer-exact in f32.
+            norm = jnp.sum(block) - block[b1 - 1, b2 - 1]
+            # Same association as ops.nll.signal_weights:
+            # ((rate * nexpected) * norm) / n_mc.
+            rate = pars_ref[c, source_id[j]]
+            w = ((rate * nexpected[j]) * norm) / n_mc[j]
+            return block, norm, w
+
         @pl.when(i >= n_mc_chunks)
         def _ev_phase():
             lo_iota = jax.lax.broadcasted_iota(
@@ -162,13 +211,7 @@ def _make_fused_kernel(nfields, nobs, systematics, lower, upper, nbins,
             for c in range(nch):
                 s = None
                 for j in range(nsignals):
-                    block = hist_ref[c, j] if batched else hist_ref[j]
-                    # In-domain count: total minus the spare trash
-                    # cell (_balanced_split) — integer-exact in f32.
-                    norm = jnp.sum(block) - block[b1 - 1, b2 - 1]
-                    # Same association as ops.nll.signal_weights:
-                    # ((rate*nexpected) * norm) / n_mc.
-                    w = (a_ref[c, j] * norm) / n_mc[j]
+                    block, norm, w = norm_w(c, j)
                     rb = rb_ref[j].reshape(1, ev_chunk)
                     pos = jnp.maximum(rb, 0)
                     olo = (pos & (b2 - 1) == lo_iota).astype(jnp.float32)
@@ -201,6 +244,52 @@ def _make_fused_kernel(nfields, nobs, systematics, lower, upper, nbins,
                     ev_ref[0] = s_new
                     ev_ref[1] = lo_acc + err
 
+        @pl.when(i == grid - 1)
+        def _finish():
+            # Scalar NLL finish: the in-kernel analog of
+            # ops.nll.finish_nll (w-term, constraints, barrier), so the
+            # sampler's XLA side is only the proposal/accept math.
+            for c in range(nch):
+                e_hi = ev_ref[c, 0] if batched else ev_ref[0]
+                e_lo = ev_ref[c, 1] if batched else ev_ref[1]
+                ev_hi, ev_lo = _pair_tree_reduce(e_hi, e_lo)
+
+                w_hi = jnp.float32(0.0)
+                w_lo = jnp.float32(0.0)
+                neg_rate = jnp.bool_(False)
+                for j in range(nsignals):
+                    _, _, w = norm_w(c, j)
+                    sn = w_hi + w
+                    bv = sn - w_hi
+                    w_lo = w_lo + ((w_hi - (sn - bv)) + (w - bv))
+                    w_hi = sn
+                con = jnp.float32(0.0)
+                for k in range(npar):
+                    if sigmas[k] > 0:
+                        z = (pars_ref[c, k] - means[k]) / sigmas[k]
+                        con = con + 0.5 * (z * z)
+                for k in range(nsources):
+                    neg_rate = neg_rate | (pars_ref[c, k] < 0)
+
+                # df_add(-ev, w) then df_add(con), as in finish_nll.
+                h1 = -ev_hi + w_hi
+                bv1 = h1 - (-ev_hi)
+                l1 = (-ev_lo + w_lo) + ((-ev_hi - (h1 - bv1))
+                                        + (w_hi - bv1))
+                h1b = h1 + l1
+                l1b = l1 - (h1b - h1)
+                h2 = h1b + con
+                bv2 = h2 - h1b
+                l2 = l1b + ((h1b - (h2 - bv2)) + (con - bv2))
+                h2b = h2 + l2
+                l2b = l2 - (h2b - h2)
+
+                bad = neg_rate | ~jnp.isfinite(ev_hi)
+                h2b = jnp.where(bad, jnp.float32(_BARRIER), h2b)
+                l2b = jnp.where(bad, jnp.float32(0.0), l2b)
+                nll_ref[c, 0] = h2b
+                nll_ref[c, 1] = l2b
+
     return kernel
 
 
@@ -208,15 +297,15 @@ def _make_fused_kernel(nfields, nobs, systematics, lower, upper, nbins,
     jax.jit,
     static_argnames=("nfields", "nobs", "systematics", "lower", "upper",
                      "nbins", "nsignals", "mc_chunk", "ev_chunk",
-                     "n_mc", "bin_volume", "interpret"))
+                     "n_mc", "bin_volume", "nexpected", "source_id",
+                     "means", "sigmas", "nsources", "interpret"))
 def pallas_fused_step(
     mc_packed: jnp.ndarray,
     chunk_seg: jnp.ndarray,
     mask_matrix: jnp.ndarray,
     hist_init: jnp.ndarray,
     rb_packed: jnp.ndarray,
-    theta: jnp.ndarray,
-    a_coef: jnp.ndarray,
+    pars: jnp.ndarray,
     *,
     nfields: int,
     nobs: int,
@@ -229,9 +318,14 @@ def pallas_fused_step(
     ev_chunk: int,
     n_mc: Tuple[float, ...],
     bin_volume: float,
+    nexpected: Tuple[float, ...],
+    source_id: Tuple[int, ...],
+    means: Tuple[float, ...],
+    sigmas: Tuple[float, ...],
+    nsources: int,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One fused launch: rebuild + event log-sum pairs.
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One fused launch: rebuild + event log-sum + finished NLL.
 
     Args:
         mc_packed: ``(nfields, npad_mc/128, 128)`` f32 per-segment
@@ -244,15 +338,17 @@ def pallas_fused_step(
             histograms (zeros in dynamic rows and cells >= total).
         rb_packed: ``(nsignals, npad_ev/128, 128)`` int32 read bins
             (pad -2).
-        theta: ``(nsyst,)`` or ``(nchains, nsyst)`` systematic params.
-        a_coef: ``(nsignals,)`` or ``(nchains, nsignals)`` f32 —
-            ``rates[source_id] * nexpected`` for the proposed params.
-        n_mc: per-signal MC counts (static floats).
+        pars: ``(nparams,)`` or ``(nchains, nparams)`` FULL parameter
+            vector (rates then systematic coefficients).
+        n_mc / nexpected / source_id / means / sigmas / nsources: the
+            NLLStatic constants, as static tuples.
 
     Returns:
-        ``(hist, ev_pairs)``: ``([nchains,] nsignals, b1, b2)`` f32
-        counts and ``([nchains,] 2, npad_ev/128, 128)`` f32 (hi, lo)
-        partial log-sum pairs.
+        ``(hist, ev_pairs, nll)``: the ``([nchains,] nsignals, b1,
+        b2)`` f32 counts, the ``([nchains,] 2, npad_ev/128, 128)``
+        partial pairs (diagnostics/tests), and the finished
+        compensated NLL ``([nchains,] 2)`` — ``nll[..., 0] +
+        nll[..., 1]`` is the value ``ops.nll.nll_pair`` returns.
     """
     nrows, npad_mc_g, lanes = mc_packed.shape
     assert lanes == LANES and nrows == nfields
@@ -265,27 +361,28 @@ def pallas_fused_step(
     npad_ev = npad_ev_g * LANES
     assert npad_ev % ev_chunk == 0
     n_ev_chunks = npad_ev // ev_chunk
+    g_ev = ev_chunk // LANES
+    assert g_ev & (g_ev - 1) == 0, "ev_chunk must be 128 * 2^k"
 
     total = hist_ops.total_bins(nbins)
     b1, b2, b2_shift = _balanced_split(total)
     assert hist_init.shape[-3:] == (nsignals, b1, b2)
 
-    batched = theta.ndim == 2
-    nchains = theta.shape[0] if batched else None
-    theta2 = theta if batched else theta[None, :]
-    a2 = a_coef if batched else a_coef[None, :]
-    npar = max(theta2.shape[1], 1)
-    theta_pad = jnp.zeros((theta2.shape[0], npar), jnp.float32)
-    theta_pad = theta_pad.at[:, :theta2.shape[1]].set(theta2)
+    batched = pars.ndim == 2
+    nchains = pars.shape[0] if batched else None
+    pars2 = pars if batched else pars[None, :]
+    npar = pars2.shape[1]
+    assert npar == len(means) == len(sigmas)
 
+    grid = n_mc_chunks + n_ev_chunks
     kernel = _make_fused_kernel(
         nfields, nobs, tuple(systematics), tuple(lower), tuple(upper),
         tuple(nbins), b1, b2, b2_shift, mc_chunk, ev_chunk, nsignals,
-        n_mc_chunks, tuple(n_mc), bin_volume, nchains)
+        n_mc_chunks, grid, tuple(n_mc), bin_volume, nchains,
+        tuple(nexpected), tuple(source_id), tuple(means), tuple(sigmas),
+        nsources)
 
     g_mc = mc_chunk // LANES
-    g_ev = ev_chunk // LANES
-    grid = n_mc_chunks + n_ev_chunks
     nmask = mask_matrix.shape[0]
 
     hist_shape = ((nchains, nsignals, b1, b2) if batched
@@ -295,6 +392,7 @@ def pallas_fused_step(
     # accumulator — per-chunk output blocks would arrive uninitialized.
     ev_shape = ((nchains, 2, g_ev, LANES) if batched
                 else (2, g_ev, LANES))
+    nll_shape = (nchains if batched else 1, 2)
     hist_init_b = (jnp.broadcast_to(hist_init, hist_shape)
                    if batched and hist_init.ndim == 3 else hist_init)
 
@@ -309,13 +407,11 @@ def pallas_fused_step(
     hist_idx = (lambda i: (0, 0, 0, 0)) if batched \
         else (lambda i: (0, 0, 0))
 
-    hist, ev = pl.pallas_call(
+    hist, ev, nll_out = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((theta_pad.shape[0], npar), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((a2.shape[0], nsignals), lambda i: (0, 0),
+            pl.BlockSpec((pars2.shape[0], npar), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, n_mc_chunks), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -333,20 +429,26 @@ def pallas_fused_step(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(ev_shape, ev_idx,
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(nll_shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(hist_shape, jnp.float32),
             jax.ShapeDtypeStruct(ev_shape, jnp.float32),
+            jax.ShapeDtypeStruct(nll_shape, jnp.float32),
         ],
         interpret=interpret,
-    )(theta_pad, jnp.asarray(a2, jnp.float32), chunk_seg, mask_matrix,
+    )(jnp.asarray(pars2, jnp.float32), chunk_seg, mask_matrix,
       hist_init_b, mc_packed, rb_packed)
-    return hist, ev
+    if not batched:
+        nll_out = nll_out[0]
+    return hist, ev, nll_out
 
 
 def reduce_pairs(ev_pairs: jnp.ndarray
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Combine per-lane (hi, lo) partials into one compensated pair.
+    """Combine per-lane (hi, lo) partials into one compensated pair
+    (tests/diagnostics; the kernel's finish step does this in-kernel).
 
     Same TwoSum monoid as ops.nll.df_sum, seeded with the kernel's
     carried compensations, so the result keeps ~2^-48 relative error
@@ -368,8 +470,8 @@ def reduce_pairs(ev_pairs: jnp.ndarray
 
 # ---------------------------------------------------------------------------
 # jnp reference with the kernel's exact blocking (tests only): interpret
-# mode must match this BITWISE; nll_pair must match to compensated
-# precision.
+# mode must match this to ulp scale (FMA-contraction freedom); nll_pair
+# must match to compensated precision.
 
 
 def fused_reference_event_pairs(hists_full, norms, w, read_bins,

@@ -402,18 +402,20 @@ class PdfStack:
 
     def fused_nll_pair(self, params: jnp.ndarray, read_bins, device_data,
                        st) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Compensated unbinned NLL in ONE Pallas launch + epilogue.
+        """Compensated unbinned NLL in ONE Pallas launch.
 
         Semantically identical to ``nll_pair(params,
         *self.evaluate(theta), st)`` — histogram values and per-event
-        densities are bit-identical; only the event-sum's reduction
-        grouping differs (compensated either way).  ``params`` may be
-        ``(nparams,)`` or ``(nchains, nparams)`` — the batched form is
-        one kernel launch that reads each MC chunk once and unrolls the
-        chains (the lock-step multi-chain step).
+        densities are bit-identical; only the reduction grouping
+        differs (compensated either way).  The kernel finishes the NLL
+        in its last grid step (w-term, constraints, barrier), so no
+        XLA epilogue runs at all.  ``params`` may be ``(nparams,)`` or
+        ``(nchains, nparams)`` — the batched form is one kernel launch
+        that reads each MC chunk once and unrolls the chains (the
+        lock-step multi-chain step).
         """
         from sxmc_tpu.ops import pallas_step
-        from sxmc_tpu.ops.nll import finish_nll, signal_weights
+        from sxmc_tpu.ops.pallas_hist import LANES
 
         if not self.supports_fused:
             raise NotImplementedError(
@@ -421,44 +423,34 @@ class PdfStack:
                 "MC weights or KDE rows")
         self._fused_setup()
         params = jnp.asarray(params, jnp.float32)
-        theta = params[..., st.nsources:]
-        rates = params[..., st.source_id]
-        a = rates * st.nexpected
 
         b1, b2 = self._fused_b1b2
         nev = read_bins.shape[-1]
         ev_chunk = pallas_step.pick_event_chunk(
             nev, self.nsignals, b1, b2)
         npad = -(-nev // ev_chunk) * ev_chunk
-        from sxmc_tpu.ops.pallas_hist import LANES
-
         rb = jnp.pad(jnp.asarray(read_bins, jnp.int32),
                      ((0, 0), (0, npad - nev)), constant_values=-2)
         rb = rb.reshape(self.nsignals, npad // LANES, LANES)
 
-        hist, ev_pairs = pallas_step.pallas_fused_step(
+        _, _, nll = pallas_step.pallas_fused_step(
             device_data[0], self._fused_chunk_seg,
             self._fused_mask_matrix,
-            jnp.asarray(self._fused_hist_init), rb, theta, a,
+            jnp.asarray(self._fused_hist_init), rb, params,
             nfields=self.nfields, nobs=self.nobservables,
             systematics=self._fused_systs,
             lower=self.lower_host, upper=self.upper_host,
             nbins=self.nbins, nsignals=self.nsignals,
             mc_chunk=self._seg_chunk, ev_chunk=ev_chunk,
             n_mc=tuple(float(x) for x in np.asarray(self.n_mc)),
-            bin_volume=self.bin_volume, interpret=self._interpret)
-
-        hists = hist.reshape(hist.shape[:-3] + (self.nsignals, b1 * b2)
-                             )[..., :self.total_nbins]
-        norms = hists.sum(axis=-1)
-        ev_hi, ev_lo = pallas_step.reduce_pairs(ev_pairs)
-        if params.ndim == 1:
-            w = signal_weights(params, norms, st)
-            return finish_nll(params, ev_hi, ev_lo, w, st)
-        return jax.vmap(
-            lambda p, n, eh, el: finish_nll(
-                p, eh, el, signal_weights(p, n, st), st))(
-                    params, norms, ev_hi, ev_lo)
+            bin_volume=self.bin_volume,
+            nexpected=tuple(float(x) for x in st.nexpected),
+            source_id=tuple(int(x) for x in st.source_id),
+            means=tuple(float(x) for x in st.means),
+            sigmas=tuple(float(x) for x in st.sigmas),
+            nsources=int(st.nsources),
+            interpret=self._interpret)
+        return nll[..., 0], nll[..., 1]
 
     # ------------------------------------------------------------------
 

@@ -89,10 +89,10 @@ class TestFusedStep:
         assert abs(f - u) < 1e-4 * max(abs(u), 1.0), (f, u)
 
         # The histogram the fused kernel built is BIT-identical to the
-        # split path's.
+        # split path's, and the in-kernel finished NLL equals the
+        # wrapper's.
         from sxmc_tpu.ops import pallas_step
         theta = params[2:]
-        a = params[jnp.asarray(st.source_id)] * st.nexpected
         stack._fused_setup()
         b1, b2 = stack._fused_b1b2
         nev = rb.shape[-1]
@@ -101,15 +101,22 @@ class TestFusedStep:
         rbp = jnp.pad(jnp.asarray(rb, jnp.int32),
                       ((0, 0), (0, npad - nev)),
                       constant_values=-2).reshape(2, npad // 128, 128)
-        hist, ev = pallas_step.pallas_fused_step(
+        hist, ev, nll_out = pallas_step.pallas_fused_step(
             dd[0], stack._fused_chunk_seg, stack._fused_mask_matrix,
-            jnp.asarray(stack._fused_hist_init), rbp, theta, a,
+            jnp.asarray(stack._fused_hist_init), rbp, params,
             nfields=stack.nfields, nobs=1,
             systematics=stack._fused_systs, lower=stack.lower_host,
             upper=stack.upper_host, nbins=stack.nbins, nsignals=2,
             mc_chunk=stack._seg_chunk, ev_chunk=ev_chunk,
             n_mc=tuple(float(x) for x in np.asarray(stack.n_mc)),
-            bin_volume=stack.bin_volume, interpret=True)
+            bin_volume=stack.bin_volume,
+            nexpected=tuple(float(x) for x in st.nexpected),
+            source_id=tuple(int(x) for x in st.source_id),
+            means=tuple(float(x) for x in st.means),
+            sigmas=tuple(float(x) for x in st.sigmas),
+            nsources=int(st.nsources), interpret=True)
+        assert float(nll_out[0]) == float(f_hi)
+        assert float(nll_out[1]) == float(f_lo)
         got = np.asarray(hist).reshape(2, b1 * b2)[:, :stack.total_nbins]
         want, want_norms = stack.histograms(theta, dd)
         np.testing.assert_array_equal(got, np.asarray(want))

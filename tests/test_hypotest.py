@@ -83,6 +83,30 @@ class TestCLs:
         # CLs is (noisily) decreasing; endpoints must straddle alpha.
         assert cls_vals[0] > 0.05 > cls_vals[-1], cls_vals
 
+    def test_refinement_makes_limit_grid_stable(self, model):
+        """With the refinement pass around the CLs = 1 - cl crossing,
+        the quoted limit must be stable to < 2% when the coarse grid
+        is HALVED (the grid-resolution error is set by the refined
+        spacing, not the coarse grid)."""
+        obs, sources, signals = model
+        ht = HypoTest(MLE(sources, signals, [], [obs]), "sig")
+        data = bkg_only_data(seed=9)
+        ntoys = 400
+        full = np.linspace(0.1, 2.0, 9)
+        half = full[::2]  # same span, half the points
+        lim_full, rg_f, _ = ht.cls_upper_limit(
+            jax.random.PRNGKey(11), data, full, ntoys=ntoys, cl=0.95)
+        lim_half, rg_h, _ = ht.cls_upper_limit(
+            jax.random.PRNGKey(11), data, half, ntoys=ntoys, cl=0.95)
+        assert len(rg_f) > len(full)  # refined points were merged in
+        assert abs(lim_full - lim_half) < 0.02 * lim_full, \
+            (lim_full, lim_half)
+        # Without refinement the same halving moves the limit more.
+        lim_full0, _, _ = ht.cls_upper_limit(
+            jax.random.PRNGKey(11), data, full, ntoys=ntoys, cl=0.95,
+            refine=0)
+        assert abs(lim_full - lim_full0) < 0.1 * lim_full
+
     def test_rejects_systematic_parameter(self, model):
         obs, sources, signals = model
         with pytest.raises(ValueError):

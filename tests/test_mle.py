@@ -124,6 +124,43 @@ class TestFloatingSystematic:
         assert abs(grid[int(np.argmin(pnll))]) <= 0.06
 
 
+class TestSystProfilingAccuracy:
+    def test_grid_descent_matches_dense_scan(self):
+        """Quantify the coordinate-grid systematic descent
+        (_fit_systematics): its optimum must land within 0.05 sigma of
+        the TRUE constrained profile optimum from a dense brute-force
+        scan (481 points over +-3 sigma, rates re-profiled per point).
+        FC/hypotest inherit this optimizer, so this bounds their
+        profiled-NLL bias too."""
+        import jax.numpy as jnp
+
+        from sxmc_tpu.stats.mle import _profile_syst_grid
+
+        obs, systs, sources, signals = make_fixture(
+            with_systematic=True)
+        data = make_fake_dataset(jax.random.PRNGKey(6), signals, systs,
+                                 [obs], poisson=False)
+        mle = MLE(sources, signals, systs, [obs])
+        res = mle.fit(data)
+        assert res.converged
+        sigma = systs[0].sigmas[0]
+        theta_hat = res.value("energy_shift_0")
+
+        # Dense brute-force profile scan around the constraint.
+        rb, dd, w = mle._last[1], mle._last[2], mle._last[3]
+        q0 = mle._initial_q()
+        theta0 = np.zeros(1, np.float32)
+        dense = np.linspace(-3 * sigma, 3 * sigma, 481
+                            ).astype(np.float32)
+        pnll = np.asarray(_profile_syst_grid(
+            mle, jnp.asarray(dense), 0, tuple(mle._free_rates),
+            jnp.asarray(q0), jnp.asarray(theta0), rb, dd,
+            mle.maxiter, w))
+        theta_star = float(dense[int(np.argmin(pnll))])
+        assert abs(theta_hat - theta_star) <= 0.05 * sigma, \
+            (theta_hat, theta_star, sigma)
+
+
 class TestUpperLimit:
     def test_null_signal_limit(self):
         """Background-only data: signal MLE ~ 0, finite upper limit."""
