@@ -409,6 +409,93 @@ def bench_binned():
     return out
 
 
+def bench_scale10m(nsignals: int = 10, n_mc_each: int = 1_000_000,
+                   nevents: int = 10_000_000):
+    """Hardware scale proof at the BASELINE config-#5 size.
+
+    The large multi-signal 0vbb-style fit (BASELINE.json configs[4] /
+    SURVEY §6 cost model): ``nsignals`` signals with ``n_mc_each`` MC
+    samples each (10M total), one floating resolution_scale systematic
+    shared by every signal (so the full 10M-sample PDF stack rebuilds
+    every step), and ``nevents`` = 10M data events, on a single chip.
+    Two metrics:
+
+      * ``binned_steps_per_sec_10M`` — binned likelihood (exact
+        (dataset, bin) regrouping): per-step cost is the 10M-sample
+        rebuild + O(nbins) event term.
+      * ``mcmc_steps_per_sec_10M`` — unbinned: the event term is the
+        full (nsignals x nevents) LUT gather + compensated log-sum.
+
+    The Pallas per-segment kernel grid-chunks the sample stack, so
+    each launch stays under the 16 MB scoped-VMEM budget regardless
+    of the 10M-row totals (CLAUDE.md rule 5).
+    """
+    import jax
+
+    from sxmc_tpu.mcmc import metropolis
+    from sxmc_tpu.ops import transforms
+    from sxmc_tpu.signal import Observable, Signal, Source, Systematic
+    from sxmc_tpu.mcmc.metropolis import MCMC
+
+    rng = np.random.default_rng(10)
+    obs = Observable(name="energy", field="energy", bins=100, lower=5.0,
+                     upper=15.0, field_index=0)
+    syst = Systematic(name="res", type=transforms.RESOLUTION_SCALE,
+                      observable_field="energy",
+                      truth_field="energy_true",
+                      means=[0.0], sigmas=[0.05],
+                      observable_field_index=0, truth_field_index=1,
+                      pidx=[0])
+    sample_fields = ["energy", "energy_true", "DATASET"]
+
+    sources, signals = [], []
+    for k in range(nsignals):
+        if k == 0:
+            truth = np.full(n_mc_each, 10.0, np.float32)  # 0vbb peak
+            src = Source(name="sig0", index=0, mean=1.0)
+        else:
+            truth = rng.uniform(5, 15, n_mc_each).astype(np.float32)
+            src = Source(name=f"bkg{k}", index=k, mean=1.0, sigma=0.1)
+        energy = truth + rng.normal(0, 0.3, n_mc_each).astype(np.float32)
+        table = np.stack([energy, truth], axis=1)
+        sources.append(src)
+        signals.append(Signal.from_table(
+            src.name, src.name, table, ["energy", "energy_true"], 0,
+            src, float(nevents) / nsignals, sample_fields, [obs], [],
+            [syst]))
+
+    data = np.zeros((nevents, 3), np.float32)
+    data[:, 0] = rng.uniform(5, 15, nevents).astype(np.float32)
+
+    out = []
+    for binned, tag, (n1, n2) in (
+            (True, "binned_steps_per_sec_10M", (100, 500)),
+            (False, "mcmc_steps_per_sec_10M", (10, 50))):
+        mcmc = MCMC(sources, signals, [syst], [obs], binned=binned)
+        mcmc.stack.set_data(data)
+        rb = mcmc.stack._read_bins
+        dd = mcmc.stack.device_data
+        p0, nll0, w0 = metropolis.initial_state(mcmc, rb, dd)
+
+        def seg_fn(nsteps, mcmc=mcmc):
+            def f(p0, nll0, w0, rb, *dd):
+                o = metropolis.run_segment(mcmc, p0, nll0, w0, rb, dd,
+                                           jax.random.PRNGKey(1), nsteps)
+                return o[1][0]
+            return f
+
+        per_step = _slope(seg_fn(n1), seg_fn(n2), n1, n2,
+                          (p0, nll0, w0, rb, *dd))
+        out.append({
+            "metric": tag, "value": 1.0 / per_step, "unit": "steps/s",
+            "detail": f"{nsignals} signals x {n_mc_each} MC "
+                      f"(res-scale rebuild/step), {nevents} events "
+                      f"{'binned' if binned else 'unbinned'}, "
+                      f"{per_step*1e3:.3f} ms/step"})
+        del mcmc, rb, dd, p0, nll0, w0
+    return out
+
+
 def bench_mle():
     """Batched gradient-MLE toy fits/s (the Feldman-Cousins inner loop).
 
@@ -499,7 +586,7 @@ def suite():
     """
     ref = _load_recorded_reference()
     extras = [bench_group()] + bench_mcmc() + bench_binned() \
-        + [bench_mle()]
+        + bench_scale10m() + [bench_mle()]
     regressions = []
     for m in extras:
         r = ref.get(m["metric"])
