@@ -552,6 +552,87 @@ def smoke_binned_nll():
     _run(check, *flat, atol=5e-6)
 
 
+@case("fused_segment")
+def smoke_fused_segment():
+    """The whole-segment kernel on hardware: a 16-step Metropolis walk
+    run as ONE launch must reproduce the trajectory of 16 sequential
+    one-shot fused_nll_pair launches under the same log-space accept
+    (both compiled into the SAME jitted program, one readback)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sxmc_tpu.mcmc import metropolis
+    from sxmc_tpu.ops.nll import NLLStatic
+    from sxmc_tpu.pdf.stack import PdfStack
+    from sxmc_tpu.signal import Observable, Signal, Source, Systematic
+
+    rng = np.random.default_rng(21)
+    obs = Observable(name="energy", field="energy", bins=100, lower=5.0,
+                     upper=15.0, field_index=0)
+    syst = Systematic(name="shift", type=0, observable_field="energy",
+                      means=[0.0], sigmas=[0.05],
+                      observable_field_index=0, pidx=[0])
+    fields = ["energy", "DATASET"]
+    n_mc = 100_000
+    sig_mc = rng.normal(10, 1, (n_mc, 1)).astype(np.float32)
+    bkg_mc = rng.uniform(5, 15, (n_mc, 1)).astype(np.float32)
+    src_s = Source(name="sig", index=0, mean=1.0)
+    src_b = Source(name="bkg", index=1, mean=1.0, sigma=0.1)
+    sig = Signal.from_table("sig", "s", sig_mc, ["energy"], 0, src_s,
+                            1000.0, fields, [obs], [], [syst])
+    bkg = Signal.from_table("bkg", "b", bkg_mc, ["energy"], 0, src_b,
+                            2000.0, fields, [obs], [], [])
+    stack = PdfStack([sig, bkg], [obs], [syst])
+    if not stack.supports_fused:
+        if INTERPRET:
+            print("  (skipped: CPU stack has no pallas path)",
+                  file=sys.stderr)
+            return
+        raise AssertionError("stack should support the fused path")
+    nevents = 2000
+    data = np.stack([rng.uniform(5, 15, nevents).astype(np.float32),
+                     np.zeros(nevents, np.float32)], axis=1)
+    stack.set_data(data)
+    st = NLLStatic(
+        nexpected=np.asarray([1000.0, 2000.0], np.float32),
+        n_mc=np.asarray([n_mc, n_mc], np.float32),
+        source_id=np.asarray([0, 1], np.int32),
+        means=np.asarray([1.0, 1.0, 0.0], np.float32),
+        sigmas=np.asarray([0.0, 0.1, 0.05], np.float32),
+        nsources=2)
+    rb = stack._read_bins
+    dd = stack.device_data
+    nsteps = 16
+    noise, u = metropolis._presample(
+        jax.random.split(jax.random.PRNGKey(9), nsteps), 3, 0)
+    noise = jnp.asarray(noise[:, 0, :])
+    log_u = jnp.log(jnp.asarray(u[:, 0]))
+    p0 = jnp.asarray([1.0, 1.0, 0.0], jnp.float32)
+    width = jnp.asarray([0.05, 0.05, 0.01], jnp.float32)
+
+    def check(noise, log_u, p0, width, rb, *dd):
+        nll0 = stack.fused_nll_pair(p0, rb, dd, st)
+        samples, nlls, accs = stack.fused_segment(
+            p0, nll0, width, rb, dd, noise, log_u, st)
+        params = p0
+        cur_hi, cur_lo = nll0
+        ref = []
+        for s in range(nsteps):
+            nz = noise[s] * jnp.maximum(width, 0.0)
+            prop = jnp.where(width > 0, params + nz, params)
+            hi, lo = stack.fused_nll_pair(prop, rb, dd, st)
+            delta = (cur_hi - hi) + (cur_lo - lo)
+            a = (delta > 0) | (log_u[s] <= delta)
+            params = jnp.where(a, prop, params)
+            cur_hi = jnp.where(a, hi, cur_hi)
+            cur_lo = jnp.where(a, lo, cur_lo)
+            ref.append(params)
+        ref = jnp.stack(ref)
+        return jnp.max(jnp.abs(samples - ref))
+
+    _run(check, noise, log_u, p0, width, rb, *dd, atol=1e-5)
+
+
 def main():
     import jax
 

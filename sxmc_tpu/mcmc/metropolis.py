@@ -267,7 +267,23 @@ def run_segment(mcmc: MCMC, params, cur_nll, width, read_bins,
     With ``rate_substeps > 0`` the blocked stepper's (lut, norms) extras
     are reconstructed from ``params`` at segment start, so checkpoint
     state is identical for both modes.
+
+    On the Pallas per-segment path the joint (non-blocked) single-chain
+    segment runs as ONE whole-segment kernel launch
+    (PdfStack.fused_segment): propose/rebuild/NLL/accept all in-kernel,
+    no per-step XLA dispatch.  The accept rule there is the
+    measure-equivalent log form (see pallas_fused_segment); state in
+    and out is identical to the scan path, so checkpoint segments
+    compose across both.
     """
+    if (not _blocked_enabled(mcmc, rate_substeps)
+            and _fused_ok(mcmc, read_bins)
+            and getattr(params, "ndim", 1) == 1):
+        carry, (samples, nll_hist, accepts) = _fused_segment_history(
+            mcmc, params, cur_nll, width, read_bins, device_data, key,
+            nsteps, debug_mode)
+        return carry[0], carry[1], samples, nll_hist, accepts.mean()
+
     step, init_extras, m = _make_stepper(mcmc, read_bins, device_data,
                                          debug_mode, rate_substeps,
                                          allow_fused=True)
@@ -386,6 +402,25 @@ def _chain_nll(mcmc: MCMC, read_bins, device_data,
         return pair(params, lut, norms, st)
 
     return chain_nll
+
+
+def _fused_segment_history(mcmc: MCMC, params, cur_nll, width,
+                           read_bins, device_data, key, nsteps: int,
+                           debug_mode: bool):
+    """One whole-segment kernel launch, returning the scan-shaped
+    ``(carry, (samples, nll_pair_history, accepts))`` of a fixed-width
+    Metropolis phase.  Key derivation matches the scan path's
+    ``_presample`` exactly; the accept rule is the measure-equivalent
+    log form (see ops.pallas_step.pallas_fused_segment)."""
+    keys = jax.random.split(key, nsteps)
+    noise, u = _presample(keys, mcmc.nparameters, 0)
+    log_u = jnp.log(u[:, 0])
+    samples, nlls, accs = mcmc.stack.fused_segment(
+        params, cur_nll, width, read_bins, device_data,
+        noise[:, 0, :], log_u, mcmc.static, debug_mode)
+    carry = (samples[-1], (nlls[-1, 0], nlls[-1, 1]), width)
+    history = (samples, (nlls[:, 0], nlls[:, 1]), accs[:, 0])
+    return carry, history
 
 
 def _presample(keys, npar: int, m: int = 0):
@@ -992,14 +1027,28 @@ def run_experiment_batch(mcmc: MCMC, keys, read_bins_batch,
 def _run_single_chain(mcmc: MCMC, key, read_bins, device_data, *,
                       nsteps: int, burnin_steps: int, debug_mode: bool,
                       rate_substeps: int = 0, allow_fused: bool = False):
-    step, init_extras, m = _make_stepper(mcmc, read_bins, device_data,
-                                         debug_mode, rate_substeps,
-                                         allow_fused=allow_fused)
+    # Whole-segment kernel for each fixed-width phase when eligible
+    # (joint step, unvmapped, pallas stack): no per-step XLA dispatch
+    # at all — the production single-chain hot path.
+    if (allow_fused and not _blocked_enabled(mcmc, rate_substeps)
+            and _fused_ok(mcmc, read_bins)):
+        def init_extras(params):
+            return ()
 
-    def run_phase(carry, phase_key, n):
-        keys = jax.random.split(phase_key, n)
-        return jax.lax.scan(step, carry,
-                            _presample(keys, mcmc.nparameters, m))
+        def run_phase(carry, phase_key, n):
+            params, cur, width = carry[:3]
+            return _fused_segment_history(
+                mcmc, params, cur, width, read_bins, device_data,
+                phase_key, n, debug_mode)
+    else:
+        step, init_extras, m = _make_stepper(
+            mcmc, read_bins, device_data, debug_mode, rate_substeps,
+            allow_fused=allow_fused)
+
+        def run_phase(carry, phase_key, n):
+            keys = jax.random.split(phase_key, n)
+            return jax.lax.scan(step, carry,
+                                _presample(keys, mcmc.nparameters, m))
 
     def retune(width, phase_samples):
         return retune_width(mcmc, width, phase_samples)

@@ -106,21 +106,192 @@ def _pair_tree_reduce(hi, lo):
     return hi[0, 0], lo[0, 0]
 
 
-def _make_fused_kernel(nfields, nobs, systematics, lower, upper, nbins,
-                       b1, b2, b2_shift, mc_chunk, ev_chunk, nsignals,
-                       n_mc_chunks, grid, n_mc, bin_volume, nchains,
-                       nexpected, source_id, means, sigmas, nsources):
+def _phase_bodies(nfields, nobs, systematics, lower, upper, nbins,
+                  b1, b2, b2_shift, mc_chunk, ev_chunk, nsignals,
+                  n_mc, bin_volume, nexpected, source_id, means,
+                  sigmas, nsources):
+    """Shared per-phase compute bodies for the fused kernels.
+
+    Every body takes a scalar-parameter accessor ``par(idx)`` so the
+    caller decides where the parameter vector lives: the SMEM input row
+    for the one-shot kernel (``pallas_fused_step``), the in-kernel
+    proposal scratch for the whole-segment kernel
+    (``pallas_fused_segment``).  Keeping the math in one place is what
+    makes the two kernels bit-identical per proposal.
+    """
     strides = hist_ops.bin_strides(nbins)
     scales = tuple(nbins[i] / (upper[i] - lower[i]) for i in range(nobs))
     g_mc = mc_chunk // LANES
     g_ev = ev_chunk // LANES
+    npar = len(means)
+
+    def mc_update(sid, mc_ref, mask_ref, par):
+        """(nsignals, b1, b2) histogram increment for one MC chunk.
+
+        Identical math to pallas_hist._make_per_segment_kernel, with
+        chunk_seg carrying GLOBAL signal indices so static rows keep
+        their precomputed values untouched.
+        """
+        seg_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (nsignals, b1, 1), 0)
+        seg_onehot = (seg_iota == sid).astype(jnp.float32)
+        cols = [mc_ref[f] for f in range(nfields)]
+        for desc, mrow in systematics:
+            on = None if mrow is None else mask_ref[mrow, sid] > 0
+            x = cols[desc.obs]
+            p = jnp.zeros_like(x)
+            xi = jnp.ones_like(x)
+            for k, pidx in enumerate(desc.par_indices):
+                if k > 0:
+                    xi = xi * x
+                p = p + par(nsources + pidx) * xi
+            if desc.type == transforms.SHIFT:
+                new = x + p
+            elif desc.type == transforms.SCALE:
+                new = x * (1.0 + p)
+            elif desc.type == transforms.CTSCALE:
+                new = 1.0 + (x - 1.0) * (1.0 + p)
+            elif desc.type == transforms.RESOLUTION_SCALE:
+                new = x + p * (x - cols[desc.extra_field])
+            else:
+                raise ValueError(f"bad systematic type {desc.type}")
+            cols[desc.obs] = new if on is None else \
+                jnp.where(on, new, x)
+
+        valid = jnp.ones((g_mc, LANES), dtype=jnp.bool_)
+        ids = jnp.zeros((g_mc, LANES), dtype=jnp.int32)
+        for k in range(nobs):
+            x = cols[k]
+            valid &= (x >= lower[k]) & (x < upper[k])
+            axis = jnp.floor(
+                (x - lower[k]) * scales[k]).astype(jnp.int32)
+            axis = jnp.clip(axis, 0, nbins[k] - 1)
+            ids += axis * strides[k]
+        ids = jnp.where(valid, ids, b1 * b2 - 1)
+
+        pos = ids.reshape(1, mc_chunk)
+        lo = pos & (b2 - 1)
+        hi = pos >> b2_shift
+        lo_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (b2, mc_chunk), 0)
+        hi_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (b1, mc_chunk), 0)
+        onehot_lo = (lo == lo_iota).astype(jnp.bfloat16)
+        onehot_hi = (hi == hi_iota).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            onehot_hi, onehot_lo, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return seg_onehot * part[None, :, :]
+
+    def norm_w(block, par, j):
+        # In-domain count: total minus the spare trash cell
+        # (_balanced_split) — integer-exact in f32.
+        norm = jnp.sum(block) - block[b1 - 1, b2 - 1]
+        # Same association as ops.nll.signal_weights:
+        # ((rate * nexpected) * norm) / n_mc.
+        rate = par(source_id[j])
+        w = ((rate * nexpected[j]) * norm) / n_mc[j]
+        return norm, w
+
+    def ev_logs(rb_ref, hist_get, par):
+        """(g_ev, LANES) per-event log mixture for one event chunk."""
+        lo_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (b2, ev_chunk), 0)
+        hi_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (b1, ev_chunk), 0)
+        s = None
+        for j in range(nsignals):
+            block = hist_get(j)
+            norm, w = norm_w(block, par, j)
+            rb = rb_ref[j].reshape(1, ev_chunk)
+            pos = jnp.maximum(rb, 0)
+            olo = (pos & (b2 - 1) == lo_iota).astype(jnp.float32)
+            ohi = (pos >> b2_shift == hi_iota).astype(jnp.float32)
+            m = jax.lax.dot_general(
+                block, olo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            counts = jnp.sum(ohi * m, axis=0, keepdims=True)
+            # pallas_eval_lut's vals, then nll_pair's nan_to_num:
+            # sentinels and non-finite -> 0.
+            val = counts / (norm * bin_volume)
+            val = jnp.where(jnp.isfinite(val), val, 0.0)
+            val = jnp.where(rb < 0, 0.0, val)
+            term = w * val
+            s = term if s is None else s + term
+        logs = jnp.where(s > 0, jnp.log(jnp.where(s > 0, s, 1.0)), 0.0)
+        return logs.reshape(g_ev, LANES)
+
+    def acc_pair(hi_acc, lo_acc, logsg):
+        """Branch-free TwoSum accumulate per (row, lane)."""
+        s_new = hi_acc + logsg
+        bv_ = s_new - hi_acc
+        err = (hi_acc - (s_new - bv_)) + (logsg - bv_)
+        return s_new, lo_acc + err
+
+    def finish_pair(hist_get, par, e_hi, e_lo):
+        """Scalar NLL finish: the in-kernel analog of
+        ops.nll.finish_nll (w-term, constraints, barrier)."""
+        ev_hi, ev_lo = _pair_tree_reduce(e_hi, e_lo)
+
+        w_hi = jnp.float32(0.0)
+        w_lo = jnp.float32(0.0)
+        neg_rate = jnp.bool_(False)
+        for j in range(nsignals):
+            _, w = norm_w(hist_get(j), par, j)
+            sn = w_hi + w
+            bv = sn - w_hi
+            w_lo = w_lo + ((w_hi - (sn - bv)) + (w - bv))
+            w_hi = sn
+        con = jnp.float32(0.0)
+        for k in range(npar):
+            if sigmas[k] > 0:
+                z = (par(k) - means[k]) / sigmas[k]
+                con = con + 0.5 * (z * z)
+        for k in range(nsources):
+            neg_rate = neg_rate | (par(k) < 0)
+
+        # df_add(-ev, w) then df_add(con), as in finish_nll.
+        h1 = -ev_hi + w_hi
+        bv1 = h1 - (-ev_hi)
+        l1 = (-ev_lo + w_lo) + ((-ev_hi - (h1 - bv1))
+                                + (w_hi - bv1))
+        h1b = h1 + l1
+        l1b = l1 - (h1b - h1)
+        h2 = h1b + con
+        bv2 = h2 - h1b
+        l2 = l1b + ((h1b - (h2 - bv2)) + (con - bv2))
+        h2b = h2 + l2
+        l2b = l2 - (h2b - h2)
+
+        bad = neg_rate | ~jnp.isfinite(ev_hi)
+        h2b = jnp.where(bad, jnp.float32(_BARRIER), h2b)
+        l2b = jnp.where(bad, jnp.float32(0.0), l2b)
+        return h2b, l2b
+
+    return mc_update, ev_logs, acc_pair, finish_pair
+
+
+def _make_fused_kernel(nfields, nobs, systematics, lower, upper, nbins,
+                       b1, b2, b2_shift, mc_chunk, ev_chunk, nsignals,
+                       n_mc_chunks, grid, n_mc, bin_volume, nchains,
+                       nexpected, source_id, means, sigmas, nsources):
     batched = nchains is not None
     nch = nchains if batched else 1
-    npar = len(means)
+    mc_update, ev_logs, acc_pair, finish_pair = _phase_bodies(
+        nfields, nobs, systematics, lower, upper, nbins, b1, b2,
+        b2_shift, mc_chunk, ev_chunk, nsignals, n_mc, bin_volume,
+        nexpected, source_id, means, sigmas, nsources)
 
     def kernel(pars_ref, chunk_seg_ref, mask_ref, hist_init_ref,
                mc_ref, rb_ref, hist_ref, ev_ref, nll_ref):
         i = pl.program_id(0)
+
+        def par_of(c):
+            return lambda idx: pars_ref[c, idx]
+
+        def hist_of(c):
+            return (lambda j: hist_ref[c, j]) if batched \
+                else (lambda j: hist_ref[j])
 
         @pl.when(i == 0)
         def _init():
@@ -129,166 +300,36 @@ def _make_fused_kernel(nfields, nobs, systematics, lower, upper, nbins,
 
         @pl.when(i < n_mc_chunks)
         def _mc_phase():
-            # Identical math to pallas_hist._make_per_segment_kernel,
-            # with chunk_seg carrying GLOBAL signal indices so static
-            # rows keep their precomputed values untouched.
             sid = chunk_seg_ref[0, i]
-            raw_cols = [mc_ref[f] for f in range(nfields)]
-            seg_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (nsignals, b1, 1), 0)
-            seg_onehot = (seg_iota == sid).astype(jnp.float32)
-
             for c in range(nch):
-                cols = list(raw_cols)
-                for desc, mrow in systematics:
-                    on = None if mrow is None else mask_ref[mrow, sid] > 0
-                    x = cols[desc.obs]
-                    p = jnp.zeros_like(x)
-                    xi = jnp.ones_like(x)
-                    for k, pidx in enumerate(desc.par_indices):
-                        if k > 0:
-                            xi = xi * x
-                        p = p + pars_ref[c, nsources + pidx] * xi
-                    if desc.type == transforms.SHIFT:
-                        new = x + p
-                    elif desc.type == transforms.SCALE:
-                        new = x * (1.0 + p)
-                    elif desc.type == transforms.CTSCALE:
-                        new = 1.0 + (x - 1.0) * (1.0 + p)
-                    elif desc.type == transforms.RESOLUTION_SCALE:
-                        new = x + p * (x - cols[desc.extra_field])
-                    else:
-                        raise ValueError(
-                            f"bad systematic type {desc.type}")
-                    cols[desc.obs] = new if on is None else \
-                        jnp.where(on, new, x)
-
-                valid = jnp.ones((g_mc, LANES), dtype=jnp.bool_)
-                ids = jnp.zeros((g_mc, LANES), dtype=jnp.int32)
-                for k in range(nobs):
-                    x = cols[k]
-                    valid &= (x >= lower[k]) & (x < upper[k])
-                    axis = jnp.floor(
-                        (x - lower[k]) * scales[k]).astype(jnp.int32)
-                    axis = jnp.clip(axis, 0, nbins[k] - 1)
-                    ids += axis * strides[k]
-                ids = jnp.where(valid, ids, b1 * b2 - 1)
-
-                pos = ids.reshape(1, mc_chunk)
-                lo = pos & (b2 - 1)
-                hi = pos >> b2_shift
-                lo_iota = jax.lax.broadcasted_iota(
-                    jnp.int32, (b2, mc_chunk), 0)
-                hi_iota = jax.lax.broadcasted_iota(
-                    jnp.int32, (b1, mc_chunk), 0)
-                onehot_lo = (lo == lo_iota).astype(jnp.bfloat16)
-                onehot_hi = (hi == hi_iota).astype(jnp.bfloat16)
-                part = jax.lax.dot_general(
-                    onehot_hi, onehot_lo, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                upd = mc_update(sid, mc_ref, mask_ref, par_of(c))
                 if batched:
-                    hist_ref[c] += seg_onehot * part[None, :, :]
+                    hist_ref[c] += upd
                 else:
-                    hist_ref[:] += seg_onehot * part[None, :, :]
-
-        def norm_w(c, j):
-            block = hist_ref[c, j] if batched else hist_ref[j]
-            # In-domain count: total minus the spare trash cell
-            # (_balanced_split) — integer-exact in f32.
-            norm = jnp.sum(block) - block[b1 - 1, b2 - 1]
-            # Same association as ops.nll.signal_weights:
-            # ((rate * nexpected) * norm) / n_mc.
-            rate = pars_ref[c, source_id[j]]
-            w = ((rate * nexpected[j]) * norm) / n_mc[j]
-            return block, norm, w
+                    hist_ref[:] += upd
 
         @pl.when(i >= n_mc_chunks)
         def _ev_phase():
-            lo_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (b2, ev_chunk), 0)
-            hi_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (b1, ev_chunk), 0)
             for c in range(nch):
-                s = None
-                for j in range(nsignals):
-                    block, norm, w = norm_w(c, j)
-                    rb = rb_ref[j].reshape(1, ev_chunk)
-                    pos = jnp.maximum(rb, 0)
-                    olo = (pos & (b2 - 1) == lo_iota).astype(jnp.float32)
-                    ohi = (pos >> b2_shift == hi_iota).astype(
-                        jnp.float32)
-                    m = jax.lax.dot_general(
-                        block, olo, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    counts = jnp.sum(ohi * m, axis=0, keepdims=True)
-                    # pallas_eval_lut's vals, then nll_pair's
-                    # nan_to_num: sentinels and non-finite -> 0.
-                    val = counts / (norm * bin_volume)
-                    val = jnp.where(jnp.isfinite(val), val, 0.0)
-                    val = jnp.where(rb < 0, 0.0, val)
-                    term = w * val
-                    s = term if s is None else s + term
-                logs = jnp.where(s > 0,
-                                 jnp.log(jnp.where(s > 0, s, 1.0)), 0.0)
-                logsg = logs.reshape(g_ev, LANES)
-                # Branch-free TwoSum accumulate per (row, lane).
+                logsg = ev_logs(rb_ref, hist_of(c), par_of(c))
                 hi_acc = ev_ref[c, 0] if batched else ev_ref[0]
                 lo_acc = ev_ref[c, 1] if batched else ev_ref[1]
-                s_new = hi_acc + logsg
-                bv_ = s_new - hi_acc
-                err = (hi_acc - (s_new - bv_)) + (logsg - bv_)
+                s_new, lo_new = acc_pair(hi_acc, lo_acc, logsg)
                 if batched:
                     ev_ref[c, 0] = s_new
-                    ev_ref[c, 1] = lo_acc + err
+                    ev_ref[c, 1] = lo_new
                 else:
                     ev_ref[0] = s_new
-                    ev_ref[1] = lo_acc + err
+                    ev_ref[1] = lo_new
 
         @pl.when(i == grid - 1)
         def _finish():
-            # Scalar NLL finish: the in-kernel analog of
-            # ops.nll.finish_nll (w-term, constraints, barrier), so the
-            # sampler's XLA side is only the proposal/accept math.
             for c in range(nch):
                 e_hi = ev_ref[c, 0] if batched else ev_ref[0]
                 e_lo = ev_ref[c, 1] if batched else ev_ref[1]
-                ev_hi, ev_lo = _pair_tree_reduce(e_hi, e_lo)
-
-                w_hi = jnp.float32(0.0)
-                w_lo = jnp.float32(0.0)
-                neg_rate = jnp.bool_(False)
-                for j in range(nsignals):
-                    _, _, w = norm_w(c, j)
-                    sn = w_hi + w
-                    bv = sn - w_hi
-                    w_lo = w_lo + ((w_hi - (sn - bv)) + (w - bv))
-                    w_hi = sn
-                con = jnp.float32(0.0)
-                for k in range(npar):
-                    if sigmas[k] > 0:
-                        z = (pars_ref[c, k] - means[k]) / sigmas[k]
-                        con = con + 0.5 * (z * z)
-                for k in range(nsources):
-                    neg_rate = neg_rate | (pars_ref[c, k] < 0)
-
-                # df_add(-ev, w) then df_add(con), as in finish_nll.
-                h1 = -ev_hi + w_hi
-                bv1 = h1 - (-ev_hi)
-                l1 = (-ev_lo + w_lo) + ((-ev_hi - (h1 - bv1))
-                                        + (w_hi - bv1))
-                h1b = h1 + l1
-                l1b = l1 - (h1b - h1)
-                h2 = h1b + con
-                bv2 = h2 - h1b
-                l2 = l1b + ((h1b - (h2 - bv2)) + (con - bv2))
-                h2b = h2 + l2
-                l2b = l2 - (h2b - h2)
-
-                bad = neg_rate | ~jnp.isfinite(ev_hi)
-                h2b = jnp.where(bad, jnp.float32(_BARRIER), h2b)
-                l2b = jnp.where(bad, jnp.float32(0.0), l2b)
-                nll_ref[c, 0] = h2b
-                nll_ref[c, 1] = l2b
+                h, l = finish_pair(hist_of(c), par_of(c), e_hi, e_lo)
+                nll_ref[c, 0] = h
+                nll_ref[c, 1] = l
 
     return kernel
 
@@ -443,6 +484,269 @@ def pallas_fused_step(
     if not batched:
         nll_out = nll_out[0]
     return hist, ev, nll_out
+
+
+def _make_segment_kernel(nfields, nobs, systematics, lower, upper,
+                         nbins, b1, b2, b2_shift, mc_chunk, ev_chunk,
+                         nsignals, n_mc_chunks, n_phases, n_mc,
+                         bin_volume, nexpected, source_id, means,
+                         sigmas, nsources, debug_mode):
+    npar = len(means)
+    mc_update, ev_logs, acc_pair, finish_pair = _phase_bodies(
+        nfields, nobs, systematics, lower, upper, nbins, b1, b2,
+        b2_shift, mc_chunk, ev_chunk, nsignals, n_mc, bin_volume,
+        nexpected, source_id, means, sigmas, nsources)
+
+    def kernel(chunk_seg_ref, mask_ref, hist_init_ref, params0_ref,
+               nll0_ref, width_ref, noise_ref, logu_ref, mc_ref,
+               rb_ref, samples_ref, nlls_ref, acc_ref,
+               hist_s, ev_s, cur_s, prop_s, curnll_s):
+        s = pl.program_id(0)
+        i = pl.program_id(1)
+
+        def par(idx):
+            return prop_s[idx]
+
+        def hist_get(j):
+            return hist_s[j]
+
+        @pl.when(i == 0)
+        def _propose():
+            @pl.when(s == 0)
+            def _first():
+                for k in range(npar):
+                    cur_s[k] = params0_ref[0, k]
+                curnll_s[0] = nll0_ref[0, 0]
+                curnll_s[1] = nll0_ref[0, 1]
+
+            hist_s[:] = hist_init_ref[:]
+            ev_s[:] = jnp.zeros_like(ev_s)
+            # Proposal: same op order as metropolis._make_step
+            # (noise * max(width, 0); fixed params, width <= 0, pinned).
+            for k in range(npar):
+                w = width_ref[0, k]
+                nz = noise_ref[0, 0, k] * jnp.maximum(w, 0.0)
+                prop_s[k] = jnp.where(w > 0, cur_s[k] + nz, cur_s[k])
+
+        @pl.when(i < n_mc_chunks)
+        def _mc_phase():
+            sid = chunk_seg_ref[0, i]
+            hist_s[:] += mc_update(sid, mc_ref, mask_ref, par)
+
+        @pl.when(i >= n_mc_chunks)
+        def _ev_phase():
+            logsg = ev_logs(rb_ref, hist_get, par)
+            s_new, lo_new = acc_pair(ev_s[0], ev_s[1], logsg)
+            ev_s[0] = s_new
+            ev_s[1] = lo_new
+
+        @pl.when(i == n_phases - 1)
+        def _accept():
+            prop_hi, prop_lo = finish_pair(hist_get, par,
+                                           ev_s[0], ev_s[1])
+            cur_hi = curnll_s[0]
+            cur_lo = curnll_s[1]
+            if debug_mode:
+                # Accept-all (debug chains), unconditionally.
+                for k in range(npar):
+                    cur_s[k] = prop_s[k]
+                curnll_s[0] = prop_hi
+                curnll_s[1] = prop_lo
+                acc_ref[0, 0, 0] = jnp.float32(1.0)
+            else:
+                # ops.nll.df_diff's exact op order, then the log-space
+                # Metropolis rule: u <= exp(delta) becomes
+                # log(u) <= delta (log_u precomputed on the XLA side so
+                # the kernel needs no transcendental and stays
+                # bit-reproducible across backends).
+                delta = (cur_hi - prop_hi) + (cur_lo - prop_lo)
+                acc = (delta > 0) | (logu_ref[0, 0, 0] <= delta)
+                for k in range(npar):
+                    cur_s[k] = jnp.where(acc, prop_s[k], cur_s[k])
+                curnll_s[0] = jnp.where(acc, prop_hi, cur_hi)
+                curnll_s[1] = jnp.where(acc, prop_lo, cur_lo)
+                acc_ref[0, 0, 0] = jnp.where(acc, jnp.float32(1.0),
+                                          jnp.float32(0.0))
+            for k in range(npar):
+                samples_ref[0, 0, k] = cur_s[k]
+            nlls_ref[0, 0, 0] = curnll_s[0]
+            nlls_ref[0, 0, 1] = curnll_s[1]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nfields", "nobs", "systematics", "lower", "upper",
+                     "nbins", "nsignals", "mc_chunk", "ev_chunk",
+                     "n_mc", "bin_volume", "nexpected", "source_id",
+                     "means", "sigmas", "nsources", "nsteps",
+                     "debug_mode", "interpret"))
+def pallas_fused_segment(
+    mc_packed: jnp.ndarray,
+    chunk_seg: jnp.ndarray,
+    mask_matrix: jnp.ndarray,
+    hist_init: jnp.ndarray,
+    rb_packed: jnp.ndarray,
+    params0: jnp.ndarray,
+    nll0: jnp.ndarray,
+    width: jnp.ndarray,
+    noise: jnp.ndarray,
+    log_u: jnp.ndarray,
+    *,
+    nfields: int,
+    nobs: int,
+    systematics: Tuple = (),
+    lower: Tuple[float, ...],
+    upper: Tuple[float, ...],
+    nbins: Tuple[int, ...],
+    nsignals: int,
+    mc_chunk: int,
+    ev_chunk: int,
+    n_mc: Tuple[float, ...],
+    bin_volume: float,
+    nexpected: Tuple[float, ...],
+    source_id: Tuple[int, ...],
+    means: Tuple[float, ...],
+    sigmas: Tuple[float, ...],
+    nsources: int,
+    nsteps: int,
+    debug_mode: bool = False,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """A WHOLE Metropolis segment in one Pallas launch.
+
+    Grid ``(nsteps, n_mc_chunks + n_ev_chunks)``: for each step the
+    kernel proposes in-kernel from presampled ``noise`` (phase 0),
+    rebuilds the dynamic histograms for the proposal (MC phases),
+    accumulates the compensated event log-sum (event phases), finishes
+    the NLL and applies the Metropolis accept against presampled
+    ``log_u`` (final phase), carrying (params, NLL pair) in SMEM
+    scratch across grid steps.  This removes the per-step XLA
+    scan/dispatch glue entirely — per-step cost is pure kernel time
+    (the measured ~11 us/step of non-kernel overhead in the one-launch-
+    per-step path goes away).
+
+    The accept rule is the measure-equivalent log form
+    ``log(u) <= delta`` (u-space in the scan path: ``u <= exp(delta)``)
+    so the kernel needs no transcendental; trajectories can differ
+    from the scan path only when u lies within rounding error of
+    exp(delta).  The per-proposal NLL math is shared code with
+    ``pallas_fused_step`` (see ``_phase_bodies``) and therefore
+    bit-identical to it.
+
+    Args (beyond ``pallas_fused_step``):
+        params0: ``(npar,)`` f32 initial parameters.
+        nll0: ``(2,)`` f32 initial compensated NLL pair.
+        width: ``(npar,)`` f32 jump widths (<= 0 pins a parameter).
+        noise: ``(nsteps, npar)`` f32 presampled N(0, 1) proposals.
+        log_u: ``(nsteps,)`` f32 presampled log accept uniforms.
+
+    Returns:
+        ``(samples, nlls, accepts)``: post-accept parameter history
+        ``(nsteps, npar)``, compensated NLL history ``(nsteps, 2)``,
+        accept flags ``(nsteps, 1)`` — exactly the scan history of
+        ``metropolis.run_segment``.
+    """
+    nrows, npad_mc_g, lanes = mc_packed.shape
+    assert lanes == LANES and nrows == nfields
+    npad_mc = npad_mc_g * LANES
+    assert npad_mc % mc_chunk == 0
+    n_mc_chunks = npad_mc // mc_chunk
+
+    nsig_rb, npad_ev_g, lanes2 = rb_packed.shape
+    assert lanes2 == LANES and nsig_rb == nsignals
+    npad_ev = npad_ev_g * LANES
+    assert npad_ev % ev_chunk == 0
+    n_ev_chunks = npad_ev // ev_chunk
+    g_ev = ev_chunk // LANES
+    assert g_ev & (g_ev - 1) == 0, "ev_chunk must be 128 * 2^k"
+
+    total = hist_ops.total_bins(nbins)
+    b1, b2, b2_shift = _balanced_split(total)
+    assert hist_init.shape == (nsignals, b1, b2)
+    npar = params0.shape[0]
+    assert npar == len(means) == len(sigmas)
+    assert noise.shape == (nsteps, npar)
+
+    n_phases = n_mc_chunks + n_ev_chunks
+    kernel = _make_segment_kernel(
+        nfields, nobs, tuple(systematics), tuple(lower), tuple(upper),
+        tuple(nbins), b1, b2, b2_shift, mc_chunk, ev_chunk, nsignals,
+        n_mc_chunks, n_phases, tuple(n_mc), bin_volume,
+        tuple(nexpected), tuple(source_id), tuple(means), tuple(sigmas),
+        nsources, debug_mode)
+
+    g_mc = mc_chunk // LANES
+    nmask = mask_matrix.shape[0]
+
+    def mc_index(s, i):
+        return (0, jnp.minimum(i, n_mc_chunks - 1), 0)
+
+    def rb_index(s, i):
+        return (0, jnp.maximum(i - n_mc_chunks, 0), 0)
+
+    # Per-step arrays are (nsteps, 1, X) with (1, 1, X) blocks: the
+    # Mosaic block rule constrains the LAST TWO dims (divisible by
+    # (8, 128) or equal to the array dims); a leading step dim is free.
+    def step_row(s, i):
+        return (s, 0, 0)
+
+    samples, nlls, accepts = pl.pallas_call(
+        kernel,
+        grid=(nsteps, n_phases),
+        in_specs=[
+            pl.BlockSpec((1, n_mc_chunks), lambda s, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nmask, nsignals), lambda s, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nsignals, b1, b2), lambda s, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npar), lambda s, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda s, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, npar), lambda s, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, npar), step_row,
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), step_row,
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nfields, g_mc, LANES), mc_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nsignals, g_ev, LANES), rb_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, npar), step_row,
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 2), step_row,
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), step_row,
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nsteps, 1, npar), jnp.float32),
+            jax.ShapeDtypeStruct((nsteps, 1, 2), jnp.float32),
+            jax.ShapeDtypeStruct((nsteps, 1, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nsignals, b1, b2), jnp.float32),
+            pltpu.VMEM((2, g_ev, LANES), jnp.float32),
+            pltpu.SMEM((npar,), jnp.float32),
+            pltpu.SMEM((npar,), jnp.float32),
+            pltpu.SMEM((2,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(chunk_seg, mask_matrix, jnp.asarray(hist_init, jnp.float32),
+      jnp.asarray(params0, jnp.float32).reshape(1, npar),
+      jnp.asarray(nll0, jnp.float32).reshape(1, 2),
+      jnp.asarray(width, jnp.float32).reshape(1, npar),
+      jnp.asarray(noise, jnp.float32).reshape(nsteps, 1, npar),
+      jnp.asarray(log_u, jnp.float32).reshape(nsteps, 1, 1),
+      mc_packed, rb_packed)
+    return (samples.reshape(nsteps, npar), nlls.reshape(nsteps, 2),
+            accepts.reshape(nsteps, 1))
 
 
 def reduce_pairs(ev_pairs: jnp.ndarray

@@ -452,6 +452,62 @@ class PdfStack:
             interpret=self._interpret)
         return nll[..., 0], nll[..., 1]
 
+    def fused_segment(self, params0, nll0_pair, width, read_bins,
+                      device_data, noise, log_u, st,
+                      debug_mode: bool = False):
+        """A whole Metropolis segment in ONE Pallas launch
+        (ops.pallas_step.pallas_fused_segment): per step the kernel
+        proposes from presampled ``noise``, rebuilds, evaluates the
+        compensated NLL (shared code with :meth:`fused_nll_pair`, so
+        bit-identical per proposal), and applies the log-space accept
+        against presampled ``log_u`` — no per-step XLA dispatch at all.
+
+        Returns ``(samples, nlls, accepts)`` with the scan history
+        layout of ``metropolis.run_segment``.
+        """
+        from sxmc_tpu.ops import pallas_step
+        from sxmc_tpu.ops.pallas_hist import LANES
+
+        if not self.supports_fused:
+            raise NotImplementedError(
+                "fused segment requires a pallas per-segment stack "
+                "without MC weights or KDE rows")
+        self._fused_setup()
+
+        b1, b2 = self._fused_b1b2
+        nev = read_bins.shape[-1]
+        ev_chunk = pallas_step.pick_event_chunk(
+            nev, self.nsignals, b1, b2)
+        npad = -(-nev // ev_chunk) * ev_chunk
+        rb = jnp.pad(jnp.asarray(read_bins, jnp.int32),
+                     ((0, 0), (0, npad - nev)), constant_values=-2)
+        rb = rb.reshape(self.nsignals, npad // LANES, LANES)
+        nll0 = jnp.stack([jnp.asarray(nll0_pair[0], jnp.float32),
+                          jnp.asarray(nll0_pair[1], jnp.float32)])
+
+        return pallas_step.pallas_fused_segment(
+            device_data[0], self._fused_chunk_seg,
+            self._fused_mask_matrix,
+            jnp.asarray(self._fused_hist_init), rb,
+            jnp.asarray(params0, jnp.float32), nll0,
+            jnp.asarray(width, jnp.float32),
+            jnp.asarray(noise, jnp.float32),
+            jnp.asarray(log_u, jnp.float32),
+            nfields=self.nfields, nobs=self.nobservables,
+            systematics=self._fused_systs,
+            lower=self.lower_host, upper=self.upper_host,
+            nbins=self.nbins, nsignals=self.nsignals,
+            mc_chunk=self._seg_chunk, ev_chunk=ev_chunk,
+            n_mc=tuple(float(x) for x in np.asarray(self.n_mc)),
+            bin_volume=self.bin_volume,
+            nexpected=tuple(float(x) for x in st.nexpected),
+            source_id=tuple(int(x) for x in st.source_id),
+            means=tuple(float(x) for x in st.means),
+            sigmas=tuple(float(x) for x in st.sigmas),
+            nsources=int(st.nsources),
+            nsteps=int(noise.shape[0]), debug_mode=bool(debug_mode),
+            interpret=self._interpret)
+
     # ------------------------------------------------------------------
 
     def set_data(self, data: np.ndarray) -> None:

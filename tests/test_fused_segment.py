@@ -1,0 +1,133 @@
+"""Whole-segment fused kernel (ops.pallas_step.pallas_fused_segment).
+
+One Pallas launch runs an entire Metropolis segment: per-step proposal
+from presampled noise, dynamic-histogram rebuild, compensated NLL, and
+the log-space accept — params and NLL pair carried in SMEM scratch
+across grid steps.  Contract: each proposal's NLL is the shared-body
+math of ``pallas_fused_step`` (bit-identical), and the trajectory
+equals a step-by-step drive of that one-shot kernel under the same
+log-space accept rule (``log(u) <= delta``).
+
+Interpret mode on CPU here; the same kernel runs on hardware in
+smoke_tpu.py (fused_segment case).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sxmc_tpu.mcmc import metropolis
+from sxmc_tpu.mcmc.metropolis import MCMC
+from sxmc_tpu.pdf.stack import force_pallas_interpret
+
+from test_fused_step import _fixture
+
+
+def _mcmc_fixture(**kw):
+    obs, syst, sources, signals, data = _fixture(**kw)
+    with force_pallas_interpret():
+        mcmc = MCMC(sources, signals, [syst], [obs])
+    assert mcmc.stack.supports_fused
+    mcmc.stack.set_data(data)
+    return mcmc
+
+
+def _reference_walk(mcmc, p0, nll0, width, key, nsteps,
+                    debug_mode=False):
+    """Step-by-step drive of the ONE-SHOT fused kernel under the
+    segment kernel's log-space accept rule, all-f32."""
+    rb = mcmc.stack._read_bins
+    dd = mcmc.stack.device_data
+    noise, u = metropolis._presample(
+        jax.random.split(key, nsteps), mcmc.nparameters, 0)
+    log_u = np.log(np.asarray(u[:, 0], np.float32))
+    params = np.asarray(p0, np.float32)
+    cur = (np.float32(nll0[0]), np.float32(nll0[1]))
+    w = np.asarray(width, np.float32)
+    samples, accs, nll_hist = [], [], []
+    for s in range(nsteps):
+        nz = np.asarray(noise[s, 0], np.float32) * np.maximum(
+            w, np.float32(0.0))
+        prop = np.where(w > 0, (params + nz).astype(np.float32), params)
+        hi, lo = mcmc.stack.fused_nll_pair(
+            jnp.asarray(prop), rb, dd, mcmc.static)
+        hi, lo = np.float32(hi), np.float32(lo)
+        delta = np.float32(cur[0] - hi) + np.float32(cur[1] - lo)
+        a = debug_mode or (delta > 0) or (log_u[s] <= delta)
+        if a:
+            params, cur = prop, (hi, lo)
+        samples.append(params.copy())
+        accs.append(float(a))
+        nll_hist.append(cur[0] + cur[1])
+    return np.stack(samples), np.asarray(accs), np.asarray(nll_hist)
+
+
+class TestFusedSegment:
+    def test_trajectory_matches_oneshot_reference(self):
+        mcmc = _mcmc_fixture(n_mc=20_000, nevents=800)
+        rb, dd = mcmc.stack._read_bins, mcmc.stack.device_data
+        p0, nll0, w0 = metropolis.initial_state(mcmc, rb, dd,
+                                                allow_fused=True)
+        key = jax.random.PRNGKey(7)
+        nsteps = 24
+        pf, nf, samples, nlls, acc = metropolis.run_segment(
+            mcmc, p0, nll0, w0, rb, dd, key, nsteps)
+        ref_s, ref_a, ref_n = _reference_walk(mcmc, p0, nll0, w0, key,
+                                              nsteps)
+        got = np.asarray(samples)
+        # Params agree to f32 ulp (the reference computes the proposal
+        # in separately compiled ops; FMA-contraction freedom allows
+        # 1-ulp differences, never trajectory divergence on this seed).
+        np.testing.assert_allclose(got, ref_s, rtol=3e-7, atol=3e-7)
+        got_n = np.asarray(nlls[0]) + np.asarray(nlls[1])
+        np.testing.assert_allclose(got_n, ref_n, rtol=1e-6)
+        assert abs(float(acc) - ref_a.mean()) < 1e-6
+        np.testing.assert_allclose(np.asarray(pf), ref_s[-1],
+                                   rtol=3e-7, atol=3e-7)
+
+    def test_determinism_and_carry(self):
+        mcmc = _mcmc_fixture(n_mc=20_000, nevents=800)
+        rb, dd = mcmc.stack._read_bins, mcmc.stack.device_data
+        p0, nll0, w0 = metropolis.initial_state(mcmc, rb, dd,
+                                                allow_fused=True)
+        key = jax.random.PRNGKey(11)
+        out1 = metropolis.run_segment(mcmc, p0, nll0, w0, rb, dd, key,
+                                      16)
+        out2 = metropolis.run_segment(mcmc, p0, nll0, w0, rb, dd, key,
+                                      16)
+        np.testing.assert_array_equal(np.asarray(out1[2]),
+                                      np.asarray(out2[2]))
+        # Segment chaining: the carry out of segment 1 seeds segment 2
+        # exactly (the checkpoint/resume contract).
+        pf, nf, _, _, _ = out1
+        key2 = jax.random.PRNGKey(12)
+        o_a = metropolis.run_segment(mcmc, pf, nf, w0, rb, dd, key2, 8)
+        o_b = metropolis.run_segment(mcmc, pf, nf, w0, rb, dd, key2, 8)
+        np.testing.assert_array_equal(np.asarray(o_a[2]),
+                                      np.asarray(o_b[2]))
+
+    def test_debug_mode_accepts_all(self):
+        mcmc = _mcmc_fixture(n_mc=20_000, nevents=400)
+        rb, dd = mcmc.stack._read_bins, mcmc.stack.device_data
+        p0, nll0, w0 = metropolis.initial_state(mcmc, rb, dd,
+                                                allow_fused=True)
+        _, _, _, _, acc = metropolis.run_segment(
+            mcmc, p0, nll0, w0, rb, dd, jax.random.PRNGKey(3), 12,
+            debug_mode=True)
+        assert float(acc) == 1.0
+
+    def test_fixed_parameter_pinned(self):
+        """width <= 0 pins a parameter exactly (the scan path's
+        convention, metropolis._make_step)."""
+        mcmc = _mcmc_fixture(n_mc=20_000, nevents=400)
+        rb, dd = mcmc.stack._read_bins, mcmc.stack.device_data
+        p0, nll0, w0 = metropolis.initial_state(mcmc, rb, dd,
+                                                allow_fused=True)
+        w_pin = np.asarray(w0, np.float32).copy()
+        w_pin[1] = -1.0
+        _, _, samples, _, _ = metropolis.run_segment(
+            mcmc, p0, nll0, jnp.asarray(w_pin), rb, dd,
+            jax.random.PRNGKey(5), 16)
+        col = np.asarray(samples)[:, 1]
+        np.testing.assert_array_equal(col, np.full(16, float(p0[1]),
+                                                   np.float32))
