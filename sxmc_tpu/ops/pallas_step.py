@@ -194,19 +194,31 @@ def _phase_bodies(nfields, nobs, systematics, lower, upper, nbins,
         return norm, w
 
     def ev_logs(rb_ref, hist_get, par):
-        """(g_ev, LANES) per-event log mixture for one event chunk."""
+        """(g_ev, LANES) per-event log mixture for one event chunk.
+
+        The one-hot gather pair is built ONCE from the canonical bin
+        id and shared by every signal: all signals bin the same
+        observables identically, so non-sentinel rows agree on the id
+        and the max over signal rows recovers it (sentinels are -1/-2;
+        an all-sentinel event gathers bin 0 and is masked to 0 per
+        signal exactly as before — bit-identical output, ~half the
+        per-event VPU work of per-signal one-hots).
+        """
         lo_iota = jax.lax.broadcasted_iota(
             jnp.int32, (b2, ev_chunk), 0)
         hi_iota = jax.lax.broadcasted_iota(
             jnp.int32, (b1, ev_chunk), 0)
+        rbs = [rb_ref[j].reshape(1, ev_chunk) for j in range(nsignals)]
+        canon = rbs[0]
+        for j in range(1, nsignals):
+            canon = jnp.maximum(canon, rbs[j])
+        pos = jnp.maximum(canon, 0)
+        olo = (pos & (b2 - 1) == lo_iota).astype(jnp.float32)
+        ohi = (pos >> b2_shift == hi_iota).astype(jnp.float32)
         s = None
         for j in range(nsignals):
             block = hist_get(j)
             norm, w = norm_w(block, par, j)
-            rb = rb_ref[j].reshape(1, ev_chunk)
-            pos = jnp.maximum(rb, 0)
-            olo = (pos & (b2 - 1) == lo_iota).astype(jnp.float32)
-            ohi = (pos >> b2_shift == hi_iota).astype(jnp.float32)
             m = jax.lax.dot_general(
                 block, olo, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -215,7 +227,7 @@ def _phase_bodies(nfields, nobs, systematics, lower, upper, nbins,
             # sentinels and non-finite -> 0.
             val = counts / (norm * bin_volume)
             val = jnp.where(jnp.isfinite(val), val, 0.0)
-            val = jnp.where(rb < 0, 0.0, val)
+            val = jnp.where(rbs[j] < 0, 0.0, val)
             term = w * val
             s = term if s is None else s + term
         logs = jnp.where(s > 0, jnp.log(jnp.where(s > 0, s, 1.0)), 0.0)
