@@ -610,27 +610,37 @@ def smoke_fused_segment():
     p0 = jnp.asarray([1.0, 1.0, 0.0], jnp.float32)
     width = jnp.asarray([0.05, 0.05, 0.01], jnp.float32)
 
-    def check(noise, log_u, p0, width, rb, *dd):
-        nll0 = stack.fused_nll_pair(p0, rb, dd, st)
-        samples, nlls, accs = stack.fused_segment(
-            p0, nll0, width, rb, dd, noise, log_u, st)
-        params = p0
-        cur_hi, cur_lo = nll0
-        ref = []
-        for s in range(nsteps):
-            nz = noise[s] * jnp.maximum(width, 0.0)
-            prop = jnp.where(width > 0, params + nz, params)
-            hi, lo = stack.fused_nll_pair(prop, rb, dd, st)
-            delta = (cur_hi - hi) + (cur_lo - lo)
-            a = (delta > 0) | (log_u[s] <= delta)
-            params = jnp.where(a, prop, params)
-            cur_hi = jnp.where(a, hi, cur_hi)
-            cur_lo = jnp.where(a, lo, cur_lo)
-            ref.append(params)
-        ref = jnp.stack(ref)
-        return jnp.max(jnp.abs(samples - ref))
+    tril = jnp.asarray([[0.04, 0.0, 0.0],
+                        [-0.02, 0.03, 0.0],
+                        [0.0, 0.0, 0.01]], jnp.float32)
 
-    _run(check, noise, log_u, p0, width, rb, *dd, atol=1e-5)
+    def check(noise, log_u, p0, width, tril, rb, *dd):
+        nll0 = stack.fused_nll_pair(p0, rb, dd, st)
+
+        def walk(proposal):
+            samples, nlls, accs = stack.fused_segment(
+                p0, nll0, proposal, rb, dd, noise, log_u, st)
+            params = p0
+            cur_hi, cur_lo = nll0
+            ref = []
+            for s in range(nsteps):
+                if proposal.ndim == 2:
+                    prop = params + proposal @ noise[s]
+                else:
+                    nz = noise[s] * jnp.maximum(proposal, 0.0)
+                    prop = jnp.where(proposal > 0, params + nz, params)
+                hi, lo = stack.fused_nll_pair(prop, rb, dd, st)
+                delta = (cur_hi - hi) + (cur_lo - lo)
+                a = (delta > 0) | (log_u[s] <= delta)
+                params = jnp.where(a, prop, params)
+                cur_hi = jnp.where(a, hi, cur_hi)
+                cur_lo = jnp.where(a, lo, cur_lo)
+                ref.append(params)
+            return jnp.max(jnp.abs(samples - jnp.stack(ref)))
+
+        return jnp.maximum(walk(width), walk(tril))
+
+    _run(check, noise, log_u, p0, width, tril, rb, *dd, atol=1e-5)
 
 
 def main():

@@ -553,11 +553,18 @@ def _run_single_chain_fullcov(mcmc: MCMC, key, read_bins, device_data,
     estimate exists yet), each retune replaces the proposal with the
     Haario-scaled sample covariance of the finished phase.
     """
-    step = _make_step_cov(mcmc, read_bins, device_data, debug_mode)
+    if _fused_ok(mcmc, read_bins):
+        def run_phase(carry, phase_key, n):
+            params, cur, tril = carry
+            return _fused_segment_history(
+                mcmc, params, cur, tril, read_bins, device_data,
+                phase_key, n, debug_mode)
+    else:
+        step = _make_step_cov(mcmc, read_bins, device_data, debug_mode)
 
-    def run_phase(carry, phase_key, n):
-        keys = jax.random.split(phase_key, n)
-        return jax.lax.scan(step, carry, keys)
+        def run_phase(carry, phase_key, n):
+            keys = jax.random.split(phase_key, n)
+            return jax.lax.scan(step, carry, keys)
 
     params0, nll0, _ = initial_state(mcmc, read_bins, device_data)
     carry = (params0, nll0, _initial_scale_tril(mcmc))
@@ -593,7 +600,17 @@ def run_segment_cov(mcmc: MCMC, params, cur_nll, tril, read_bins,
                     device_data, key, nsteps: int,
                     debug_mode: bool = False):
     """Fixed-proposal full-covariance segment (checkpointing building
-    block, the `scale_tril` analog of :func:`run_segment`)."""
+    block, the `scale_tril` analog of :func:`run_segment`).
+
+    On the Pallas per-segment path the whole segment runs as ONE
+    kernel launch (the segment kernel's tril proposal branch: ``cur +
+    L @ z`` in SMEM scalars, zero rows pinning fixed parameters)."""
+    if (_fused_ok(mcmc, read_bins)
+            and getattr(params, "ndim", 1) == 1):
+        carry, (samples, nll_hist, accepts) = _fused_segment_history(
+            mcmc, params, cur_nll, tril, read_bins, device_data, key,
+            nsteps, debug_mode)
+        return carry[0], carry[1], samples, nll_hist, accepts.mean()
     step = _make_step_cov(mcmc, read_bins, device_data, debug_mode)
     keys = jax.random.split(key, nsteps)
     carry, (samples, nlls, accepts) = jax.lax.scan(

@@ -502,7 +502,7 @@ def _make_segment_kernel(nfields, nobs, systematics, lower, upper,
                          nbins, b1, b2, b2_shift, mc_chunk, ev_chunk,
                          nsignals, n_mc_chunks, n_phases, n_mc,
                          bin_volume, nexpected, source_id, means,
-                         sigmas, nsources, debug_mode):
+                         sigmas, nsources, debug_mode, use_tril):
     npar = len(means)
     mc_update, ev_logs, acc_pair, finish_pair = _phase_bodies(
         nfields, nobs, systematics, lower, upper, nbins, b1, b2,
@@ -533,12 +533,24 @@ def _make_segment_kernel(nfields, nobs, systematics, lower, upper,
 
             hist_s[:] = hist_init_ref[:]
             ev_s[:] = jnp.zeros_like(ev_s)
-            # Proposal: same op order as metropolis._make_step
-            # (noise * max(width, 0); fixed params, width <= 0, pinned).
-            for k in range(npar):
-                w = width_ref[0, k]
-                nz = noise_ref[0, 0, k] * jnp.maximum(w, 0.0)
-                prop_s[k] = jnp.where(w > 0, cur_s[k] + nz, cur_s[k])
+            if use_tril:
+                # Full-covariance proposal: prop = cur + L @ z with L
+                # lower-triangular (metropolis._make_step_cov); zero
+                # rows pin fixed parameters exactly.
+                for k in range(npar):
+                    acc = jnp.float32(0.0)
+                    for j in range(k + 1):
+                        acc = acc + width_ref[k, j] * noise_ref[0, 0, j]
+                    prop_s[k] = cur_s[k] + acc
+            else:
+                # Diagonal proposal: same op order as
+                # metropolis._make_step (noise * max(width, 0); fixed
+                # params, width <= 0, pinned).
+                for k in range(npar):
+                    w = width_ref[0, k]
+                    nz = noise_ref[0, 0, k] * jnp.maximum(w, 0.0)
+                    prop_s[k] = jnp.where(w > 0, cur_s[k] + nz,
+                                          cur_s[k])
 
         @pl.when(i < n_mc_chunks)
         def _mc_phase():
@@ -650,7 +662,9 @@ def pallas_fused_segment(
     Args (beyond ``pallas_fused_step``):
         params0: ``(npar,)`` f32 initial parameters.
         nll0: ``(2,)`` f32 initial compensated NLL pair.
-        width: ``(npar,)`` f32 jump widths (<= 0 pins a parameter).
+        width: ``(npar,)`` f32 jump widths (<= 0 pins a parameter),
+            or an ``(npar, npar)`` lower-triangular ``scale_tril`` for
+            full-covariance proposals ``cur + L @ z`` (zero rows pin).
         noise: ``(nsteps, npar)`` f32 presampled N(0, 1) proposals.
         log_u: ``(nsteps,)`` f32 presampled log accept uniforms.
 
@@ -681,13 +695,24 @@ def pallas_fused_segment(
     assert npar == len(means) == len(sigmas)
     assert noise.shape == (nsteps, npar)
 
+    use_tril = width.ndim == 2
+    if use_tril:
+        assert width.shape == (npar, npar)
+        width_in = jnp.asarray(width, jnp.float32)
+        width_spec = pl.BlockSpec((npar, npar), lambda s, i: (0, 0),
+                                  memory_space=pltpu.SMEM)
+    else:
+        width_in = jnp.asarray(width, jnp.float32).reshape(1, npar)
+        width_spec = pl.BlockSpec((1, npar), lambda s, i: (0, 0),
+                                  memory_space=pltpu.SMEM)
+
     n_phases = n_mc_chunks + n_ev_chunks
     kernel = _make_segment_kernel(
         nfields, nobs, tuple(systematics), tuple(lower), tuple(upper),
         tuple(nbins), b1, b2, b2_shift, mc_chunk, ev_chunk, nsignals,
         n_mc_chunks, n_phases, tuple(n_mc), bin_volume,
         tuple(nexpected), tuple(source_id), tuple(means), tuple(sigmas),
-        nsources, debug_mode)
+        nsources, debug_mode, use_tril)
 
     g_mc = mc_chunk // LANES
     nmask = mask_matrix.shape[0]
@@ -718,8 +743,7 @@ def pallas_fused_segment(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2), lambda s, i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, npar), lambda s, i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            width_spec,
             pl.BlockSpec((1, 1, npar), step_row,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), step_row,
@@ -753,7 +777,7 @@ def pallas_fused_segment(
     )(chunk_seg, mask_matrix, jnp.asarray(hist_init, jnp.float32),
       jnp.asarray(params0, jnp.float32).reshape(1, npar),
       jnp.asarray(nll0, jnp.float32).reshape(1, 2),
-      jnp.asarray(width, jnp.float32).reshape(1, npar),
+      width_in,
       jnp.asarray(noise, jnp.float32).reshape(nsteps, 1, npar),
       jnp.asarray(log_u, jnp.float32).reshape(nsteps, 1, 1),
       mc_packed, rb_packed)
