@@ -969,7 +969,23 @@ def _run_chains_batched(mcmc: MCMC, chain_keys, read_bins, device_data,
             lambda k: jax.random.uniform(k, ()))))(split[:, :, :, 1])
         return (jnp.moveaxis(noise, 0, 1), jnp.moveaxis(u, 0, 1))
 
+    # Joint lock-step phases run as ONE batched whole-segment kernel
+    # launch when eligible (every chain advances per grid step with a
+    # single shared fetch of each MC chunk; zero per-step dispatch).
+    use_mega = (not blocked) and _fused_ok(mcmc, read_bins)
+
     def run_phase(carry, ks, n):
+        if use_mega:
+            params, cur, width = carry
+            noise, u = phase_xs(ks, n)
+            log_u = jnp.log(u[:, :, 0])
+            samples, nlls, accs = mcmc.stack.fused_segment(
+                params, cur, width, read_bins, device_data,
+                noise[:, :, 0, :], log_u, st, debug_mode)
+            carry2 = (samples[-1],
+                      (nlls[-1, :, 0], nlls[-1, :, 1]), width)
+            return carry2, (samples,
+                            (nlls[:, :, 0], nlls[:, :, 1]), accs)
         return jax.lax.scan(blocked_step if blocked else step, carry,
                             phase_xs(ks, n))
 

@@ -502,7 +502,11 @@ def _make_segment_kernel(nfields, nobs, systematics, lower, upper,
                          nbins, b1, b2, b2_shift, mc_chunk, ev_chunk,
                          nsignals, n_mc_chunks, n_phases, n_mc,
                          bin_volume, nexpected, source_id, means,
-                         sigmas, nsources, debug_mode, use_tril):
+                         sigmas, nsources, debug_mode, use_tril, nch):
+    """Whole-segment kernel body; ``nch`` lock-step chains share every
+    MC/rb block fetch (the single-chain case is ``nch == 1``).  The
+    tril proposal branch is single-chain only (the batched runner is
+    diagonal)."""
     npar = len(means)
     mc_update, ev_logs, acc_pair, finish_pair = _phase_bodies(
         nfields, nobs, systematics, lower, upper, nbins, b1, b2,
@@ -516,85 +520,97 @@ def _make_segment_kernel(nfields, nobs, systematics, lower, upper,
         s = pl.program_id(0)
         i = pl.program_id(1)
 
-        def par(idx):
-            return prop_s[idx]
+        def par_of(c):
+            return lambda idx: prop_s[c, idx]
 
-        def hist_get(j):
-            return hist_s[j]
+        def hist_of(c):
+            return lambda j: hist_s[c, j]
 
         @pl.when(i == 0)
         def _propose():
             @pl.when(s == 0)
             def _first():
-                for k in range(npar):
-                    cur_s[k] = params0_ref[0, k]
-                curnll_s[0] = nll0_ref[0, 0]
-                curnll_s[1] = nll0_ref[0, 1]
+                for c in range(nch):
+                    for k in range(npar):
+                        cur_s[c, k] = params0_ref[c, k]
+                    curnll_s[c, 0] = nll0_ref[c, 0]
+                    curnll_s[c, 1] = nll0_ref[c, 1]
 
-            hist_s[:] = hist_init_ref[:]
+            hist_s[:] = jnp.broadcast_to(hist_init_ref[:],
+                                         hist_s.shape)
             ev_s[:] = jnp.zeros_like(ev_s)
-            if use_tril:
-                # Full-covariance proposal: prop = cur + L @ z with L
-                # lower-triangular (metropolis._make_step_cov); zero
-                # rows pin fixed parameters exactly.
-                for k in range(npar):
-                    acc = jnp.float32(0.0)
-                    for j in range(k + 1):
-                        acc = acc + width_ref[k, j] * noise_ref[0, 0, j]
-                    prop_s[k] = cur_s[k] + acc
-            else:
-                # Diagonal proposal: same op order as
-                # metropolis._make_step (noise * max(width, 0); fixed
-                # params, width <= 0, pinned).
-                for k in range(npar):
-                    w = width_ref[0, k]
-                    nz = noise_ref[0, 0, k] * jnp.maximum(w, 0.0)
-                    prop_s[k] = jnp.where(w > 0, cur_s[k] + nz,
-                                          cur_s[k])
+            for c in range(nch):
+                if use_tril:
+                    # Full-covariance proposal: prop = cur + L @ z
+                    # with L lower-triangular
+                    # (metropolis._make_step_cov); zero rows pin fixed
+                    # parameters exactly.
+                    for k in range(npar):
+                        acc = jnp.float32(0.0)
+                        for j in range(k + 1):
+                            acc = acc + (width_ref[k, j]
+                                         * noise_ref[0, c, j])
+                        prop_s[c, k] = cur_s[c, k] + acc
+                else:
+                    # Diagonal proposal: same op order as
+                    # metropolis._make_step (noise * max(width, 0);
+                    # fixed params, width <= 0, pinned).
+                    for k in range(npar):
+                        w = width_ref[c, k]
+                        nz = noise_ref[0, c, k] * jnp.maximum(w, 0.0)
+                        prop_s[c, k] = jnp.where(w > 0,
+                                                 cur_s[c, k] + nz,
+                                                 cur_s[c, k])
 
         @pl.when(i < n_mc_chunks)
         def _mc_phase():
             sid = chunk_seg_ref[0, i]
-            hist_s[:] += mc_update(sid, mc_ref, mask_ref, par)
+            for c in range(nch):
+                hist_s[c] += mc_update(sid, mc_ref, mask_ref,
+                                       par_of(c))
 
         @pl.when(i >= n_mc_chunks)
         def _ev_phase():
-            logsg = ev_logs(rb_ref, hist_get, par)
-            s_new, lo_new = acc_pair(ev_s[0], ev_s[1], logsg)
-            ev_s[0] = s_new
-            ev_s[1] = lo_new
+            for c in range(nch):
+                logsg = ev_logs(rb_ref, hist_of(c), par_of(c))
+                s_new, lo_new = acc_pair(ev_s[c, 0], ev_s[c, 1], logsg)
+                ev_s[c, 0] = s_new
+                ev_s[c, 1] = lo_new
 
         @pl.when(i == n_phases - 1)
         def _accept():
-            prop_hi, prop_lo = finish_pair(hist_get, par,
-                                           ev_s[0], ev_s[1])
-            cur_hi = curnll_s[0]
-            cur_lo = curnll_s[1]
-            if debug_mode:
-                # Accept-all (debug chains), unconditionally.
+            for c in range(nch):
+                prop_hi, prop_lo = finish_pair(hist_of(c), par_of(c),
+                                               ev_s[c, 0], ev_s[c, 1])
+                cur_hi = curnll_s[c, 0]
+                cur_lo = curnll_s[c, 1]
+                if debug_mode:
+                    # Accept-all (debug chains), unconditionally.
+                    for k in range(npar):
+                        cur_s[c, k] = prop_s[c, k]
+                    curnll_s[c, 0] = prop_hi
+                    curnll_s[c, 1] = prop_lo
+                    acc_ref[0, 0, c] = jnp.float32(1.0)
+                else:
+                    # ops.nll.df_diff's exact op order, then the
+                    # log-space Metropolis rule: u <= exp(delta)
+                    # becomes log(u) <= delta (log_u precomputed on
+                    # the XLA side so the kernel needs no
+                    # transcendental and stays bit-reproducible
+                    # across backends).
+                    delta = (cur_hi - prop_hi) + (cur_lo - prop_lo)
+                    acc = (delta > 0) | (logu_ref[0, 0, c] <= delta)
+                    for k in range(npar):
+                        cur_s[c, k] = jnp.where(acc, prop_s[c, k],
+                                                cur_s[c, k])
+                    curnll_s[c, 0] = jnp.where(acc, prop_hi, cur_hi)
+                    curnll_s[c, 1] = jnp.where(acc, prop_lo, cur_lo)
+                    acc_ref[0, 0, c] = jnp.where(acc, jnp.float32(1.0),
+                                                 jnp.float32(0.0))
                 for k in range(npar):
-                    cur_s[k] = prop_s[k]
-                curnll_s[0] = prop_hi
-                curnll_s[1] = prop_lo
-                acc_ref[0, 0, 0] = jnp.float32(1.0)
-            else:
-                # ops.nll.df_diff's exact op order, then the log-space
-                # Metropolis rule: u <= exp(delta) becomes
-                # log(u) <= delta (log_u precomputed on the XLA side so
-                # the kernel needs no transcendental and stays
-                # bit-reproducible across backends).
-                delta = (cur_hi - prop_hi) + (cur_lo - prop_lo)
-                acc = (delta > 0) | (logu_ref[0, 0, 0] <= delta)
-                for k in range(npar):
-                    cur_s[k] = jnp.where(acc, prop_s[k], cur_s[k])
-                curnll_s[0] = jnp.where(acc, prop_hi, cur_hi)
-                curnll_s[1] = jnp.where(acc, prop_lo, cur_lo)
-                acc_ref[0, 0, 0] = jnp.where(acc, jnp.float32(1.0),
-                                          jnp.float32(0.0))
-            for k in range(npar):
-                samples_ref[0, 0, k] = cur_s[k]
-            nlls_ref[0, 0, 0] = curnll_s[0]
-            nlls_ref[0, 0, 1] = curnll_s[1]
+                    samples_ref[0, c, k] = cur_s[c, k]
+                nlls_ref[0, c, 0] = curnll_s[c, 0]
+                nlls_ref[0, c, 1] = curnll_s[c, 1]
 
     return kernel
 
@@ -668,11 +684,19 @@ def pallas_fused_segment(
         noise: ``(nsteps, npar)`` f32 presampled N(0, 1) proposals.
         log_u: ``(nsteps,)`` f32 presampled log accept uniforms.
 
+    Batched lock-step chains: pass ``params0`` as ``(nchains, npar)``
+    (with ``nll0`` ``(nchains, 2)``, ``width`` ``(nchains, npar)``,
+    ``noise`` ``(nsteps, nchains, npar)``, ``log_u``
+    ``(nsteps, nchains)``) and every chain advances per grid step with
+    ONE shared fetch of each MC/rb block — the whole multi-chain
+    segment is still a single launch.
+
     Returns:
         ``(samples, nlls, accepts)``: post-accept parameter history
         ``(nsteps, npar)``, compensated NLL history ``(nsteps, 2)``,
         accept flags ``(nsteps, 1)`` — exactly the scan history of
-        ``metropolis.run_segment``.
+        ``metropolis.run_segment``.  Batched: ``(nsteps, nchains,
+        npar)`` / ``(nsteps, nchains, 2)`` / ``(nsteps, nchains)``.
     """
     nrows, npad_mc_g, lanes = mc_packed.shape
     assert lanes == LANES and nrows == nfields
@@ -691,19 +715,25 @@ def pallas_fused_segment(
     total = hist_ops.total_bins(nbins)
     b1, b2, b2_shift = _balanced_split(total)
     assert hist_init.shape == (nsignals, b1, b2)
-    npar = params0.shape[0]
+    batched = params0.ndim == 2
+    nch = params0.shape[0] if batched else 1
+    npar = params0.shape[-1]
     assert npar == len(means) == len(sigmas)
-    assert noise.shape == (nsteps, npar)
+    p0_in = jnp.asarray(params0, jnp.float32).reshape(nch, npar)
+    nll0_in = jnp.asarray(nll0, jnp.float32).reshape(nch, 2)
+    noise_in = jnp.asarray(noise, jnp.float32).reshape(
+        nsteps, nch, npar)
+    logu_in = jnp.asarray(log_u, jnp.float32).reshape(nsteps, 1, nch)
 
-    use_tril = width.ndim == 2
+    use_tril = width.ndim == 2 and width.shape == (npar, npar) \
+        and not batched
     if use_tril:
-        assert width.shape == (npar, npar)
         width_in = jnp.asarray(width, jnp.float32)
         width_spec = pl.BlockSpec((npar, npar), lambda s, i: (0, 0),
                                   memory_space=pltpu.SMEM)
     else:
-        width_in = jnp.asarray(width, jnp.float32).reshape(1, npar)
-        width_spec = pl.BlockSpec((1, npar), lambda s, i: (0, 0),
+        width_in = jnp.asarray(width, jnp.float32).reshape(nch, npar)
+        width_spec = pl.BlockSpec((nch, npar), lambda s, i: (0, 0),
                                   memory_space=pltpu.SMEM)
 
     n_phases = n_mc_chunks + n_ev_chunks
@@ -712,7 +742,7 @@ def pallas_fused_segment(
         tuple(nbins), b1, b2, b2_shift, mc_chunk, ev_chunk, nsignals,
         n_mc_chunks, n_phases, tuple(n_mc), bin_volume,
         tuple(nexpected), tuple(source_id), tuple(means), tuple(sigmas),
-        nsources, debug_mode, use_tril)
+        nsources, debug_mode, use_tril, nch)
 
     g_mc = mc_chunk // LANES
     nmask = mask_matrix.shape[0]
@@ -723,7 +753,7 @@ def pallas_fused_segment(
     def rb_index(s, i):
         return (0, jnp.maximum(i - n_mc_chunks, 0), 0)
 
-    # Per-step arrays are (nsteps, 1, X) with (1, 1, X) blocks: the
+    # Per-step arrays are (nsteps, A, B) with (1, A, B) blocks: the
     # Mosaic block rule constrains the LAST TWO dims (divisible by
     # (8, 128) or equal to the array dims); a leading step dim is free.
     def step_row(s, i):
@@ -739,14 +769,14 @@ def pallas_fused_segment(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((nsignals, b1, b2), lambda s, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, npar), lambda s, i: (0, 0),
+            pl.BlockSpec((nch, npar), lambda s, i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2), lambda s, i: (0, 0),
+            pl.BlockSpec((nch, 2), lambda s, i: (0, 0),
                          memory_space=pltpu.SMEM),
             width_spec,
-            pl.BlockSpec((1, 1, npar), step_row,
+            pl.BlockSpec((1, nch, npar), step_row,
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), step_row,
+            pl.BlockSpec((1, 1, nch), step_row,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((nfields, g_mc, LANES), mc_index,
                          memory_space=pltpu.VMEM),
@@ -754,33 +784,31 @@ def pallas_fused_segment(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, npar), step_row,
+            pl.BlockSpec((1, nch, npar), step_row,
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 2), step_row,
+            pl.BlockSpec((1, nch, 2), step_row,
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), step_row,
+            pl.BlockSpec((1, 1, nch), step_row,
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nsteps, 1, npar), jnp.float32),
-            jax.ShapeDtypeStruct((nsteps, 1, 2), jnp.float32),
-            jax.ShapeDtypeStruct((nsteps, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nsteps, nch, npar), jnp.float32),
+            jax.ShapeDtypeStruct((nsteps, nch, 2), jnp.float32),
+            jax.ShapeDtypeStruct((nsteps, 1, nch), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((nsignals, b1, b2), jnp.float32),
-            pltpu.VMEM((2, g_ev, LANES), jnp.float32),
-            pltpu.SMEM((npar,), jnp.float32),
-            pltpu.SMEM((npar,), jnp.float32),
-            pltpu.SMEM((2,), jnp.float32),
+            pltpu.VMEM((nch, nsignals, b1, b2), jnp.float32),
+            pltpu.VMEM((nch, 2, g_ev, LANES), jnp.float32),
+            pltpu.SMEM((nch, npar), jnp.float32),
+            pltpu.SMEM((nch, npar), jnp.float32),
+            pltpu.SMEM((nch, 2), jnp.float32),
         ],
         interpret=interpret,
     )(chunk_seg, mask_matrix, jnp.asarray(hist_init, jnp.float32),
-      jnp.asarray(params0, jnp.float32).reshape(1, npar),
-      jnp.asarray(nll0, jnp.float32).reshape(1, 2),
-      width_in,
-      jnp.asarray(noise, jnp.float32).reshape(nsteps, 1, npar),
-      jnp.asarray(log_u, jnp.float32).reshape(nsteps, 1, 1),
+      p0_in, nll0_in, width_in, noise_in, logu_in,
       mc_packed, rb_packed)
+    if batched:
+        return samples, nlls, accepts[:, 0, :]
     return (samples.reshape(nsteps, npar), nlls.reshape(nsteps, 2),
             accepts.reshape(nsteps, 1))
 

@@ -483,7 +483,8 @@ class PdfStack:
                      ((0, 0), (0, npad - nev)), constant_values=-2)
         rb = rb.reshape(self.nsignals, npad // LANES, LANES)
         nll0 = jnp.stack([jnp.asarray(nll0_pair[0], jnp.float32),
-                          jnp.asarray(nll0_pair[1], jnp.float32)])
+                          jnp.asarray(nll0_pair[1], jnp.float32)],
+                         axis=-1)
 
         return pallas_step.pallas_fused_segment(
             device_data[0], self._fused_chunk_seg,

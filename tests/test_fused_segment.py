@@ -116,6 +116,45 @@ class TestFusedSegment:
             debug_mode=True)
         assert float(acc) == 1.0
 
+    def test_batched_matches_per_chain(self):
+        """The batched segment kernel advances each lock-step chain
+        exactly as a single-chain segment launch with the same
+        presampled streams would."""
+        mcmc = _mcmc_fixture(n_mc=20_000, nevents=600)
+        rb, dd = mcmc.stack._read_bins, mcmc.stack.device_data
+        p0, nll0, w0 = metropolis.initial_state(mcmc, rb, dd,
+                                                allow_fused=True)
+        npar = mcmc.nparameters
+        nch, nsteps = 3, 12
+        rng = np.random.default_rng(8)
+        noise = rng.normal(size=(nsteps, nch, npar)).astype(np.float32)
+        log_u = np.log(rng.uniform(
+            size=(nsteps, nch)).astype(np.float32))
+        params0 = np.tile(np.asarray(p0, np.float32), (nch, 1))
+        params0[1, 0] = 0.9
+        params0[2, 1] = 1.1
+        st = mcmc.static
+        nll0_b = mcmc.stack.fused_nll_pair(
+            jnp.asarray(params0), rb, dd, st)
+        width = np.tile(np.asarray(w0, np.float32), (nch, 1))
+        width[2] *= 0.5
+        samples, nlls, accs = mcmc.stack.fused_segment(
+            jnp.asarray(params0), nll0_b, jnp.asarray(width), rb, dd,
+            jnp.asarray(noise), jnp.asarray(log_u), st)
+        assert samples.shape == (nsteps, nch, npar)
+        assert accs.shape == (nsteps, nch)
+        for c in range(nch):
+            s1, n1, a1 = mcmc.stack.fused_segment(
+                jnp.asarray(params0[c]),
+                (nll0_b[0][c], nll0_b[1][c]),
+                jnp.asarray(width[c]), rb, dd,
+                jnp.asarray(noise[:, c]), jnp.asarray(log_u[:, c]), st)
+            np.testing.assert_allclose(
+                np.asarray(samples[:, c]), np.asarray(s1),
+                rtol=3e-7, atol=3e-7)
+            np.testing.assert_array_equal(
+                np.asarray(accs[:, c]), np.asarray(a1[:, 0]))
+
     def test_fullcov_trajectory(self):
         """run_segment_cov routes through the segment kernel's tril
         proposal branch; trajectory matches a step-by-step one-shot
