@@ -442,6 +442,9 @@ def _run_hypotest(ht, fc: FitConfig, data, output_path: str, index: int,
             f"(profile-likelihood: {lim0:g})")
         out["cls_limit"] = limit
         out["cls_values"] = list(cls_vals)
+        # The refinement pass merged extra points into the grid;
+        # keep r_grid aligned with cls_values.
+        out["r_grid"] = list(grid)
 
     bd = None
     if band and ntoys > 0:

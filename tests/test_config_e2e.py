@@ -198,7 +198,9 @@ class TestEndToEnd:
         # and the CLs limit must sit above the (large) best-fit rate.
         assert res["z_asymptotic"] > 5.0
         assert res["cls_limit"] > 0.0
-        assert len(res["r_grid"]) == len(res["cls_values"]) == 8
+        # 8 coarse points plus the refinement pass around the
+        # CLs = 1 - cl crossing (stats/hypotest.py upper_limit_cls).
+        assert len(res["r_grid"]) == len(res["cls_values"]) >= 8
 
     def test_cli_hypotest_asymptotic(self, mc_files, tmp_path, capsys):
         """--hypotest-asymptotic (no toys) writes the Asimov-based CLs
