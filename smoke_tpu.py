@@ -643,6 +643,172 @@ def smoke_fused_segment():
     _run(check, noise, log_u, p0, width, tril, rb, *dd, atol=1e-5)
 
 
+def _fused_stack_fixture(seed, n_mc=100_000, nevents=1500):
+    """Shared 2-signal fused-eligible stack for the batched cases."""
+    from sxmc_tpu.ops.nll import NLLStatic
+    from sxmc_tpu.pdf.stack import PdfStack
+    from sxmc_tpu.signal import Observable, Signal, Source, Systematic
+
+    rng = np.random.default_rng(seed)
+    obs = Observable(name="energy", field="energy", bins=100, lower=5.0,
+                     upper=15.0, field_index=0)
+    syst = Systematic(name="shift", type=0, observable_field="energy",
+                      means=[0.0], sigmas=[0.05],
+                      observable_field_index=0, pidx=[0])
+    fields = ["energy", "DATASET"]
+    sig_mc = rng.normal(10, 1, (n_mc, 1)).astype(np.float32)
+    bkg_mc = rng.uniform(5, 15, (n_mc, 1)).astype(np.float32)
+    src_s = Source(name="sig", index=0, mean=1.0)
+    src_b = Source(name="bkg", index=1, mean=1.0, sigma=0.1)
+    sig = Signal.from_table("sig", "s", sig_mc, ["energy"], 0, src_s,
+                            1000.0, fields, [obs], [], [syst])
+    bkg = Signal.from_table("bkg", "b", bkg_mc, ["energy"], 0, src_b,
+                            2000.0, fields, [obs], [], [])
+    stack = PdfStack([sig, bkg], [obs], [syst])
+    st = NLLStatic(
+        nexpected=np.asarray([1000.0, 2000.0], np.float32),
+        n_mc=np.asarray([n_mc, n_mc], np.float32),
+        source_id=np.asarray([0, 1], np.int32),
+        means=np.asarray([1.0, 1.0, 0.0], np.float32),
+        sigmas=np.asarray([0.0, 0.1, 0.05], np.float32),
+        nsources=2)
+    data = np.stack([rng.uniform(5, 15, nevents).astype(np.float32),
+                     np.zeros(nevents, np.float32)], axis=1)
+    return stack, st, data, rng
+
+
+@case("fused_segment_grouped_shardmap")
+def smoke_fused_segment_grouped_shardmap():
+    """The experiment-grouped batched whole-segment kernel INSIDE a
+    shard_map body on a 1-device TPU mesh — the exact Mosaic
+    combination every pod shard runs in the fused sharded ensemble
+    (parallel.ensemble._batched_segment_fused).  Each (exp, chain)
+    trajectory must equal a standalone single-chain segment launch
+    with that experiment's read bins (same jit, one readback)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    stack, st, data, rng = _fused_stack_fixture(23)
+    if not stack.supports_fused:
+        if INTERPRET:
+            print("  (skipped: CPU stack has no pallas path)",
+                  file=sys.stderr)
+            return
+        raise AssertionError("stack should support the fused path")
+    nexp, cpe, nsteps, npar = 2, 2, 10, 3
+    # Two experiments with different event subsets -> different rb.
+    batch = np.stack([data, np.concatenate(
+        [data[200:], np.tile(data[:1], (200, 1))])])
+    batch[1, -200:, 1] = -999.0  # pad rows, unknown tag
+    rb = stack.compute_read_bins(batch)  # (nexp, nsig, nev)
+    dd = stack.device_data
+
+    noise = rng.normal(size=(nsteps, nexp, cpe, npar)).astype(
+        np.float32)
+    log_u = np.log(rng.uniform(size=(nsteps, nexp, cpe)).astype(
+        np.float32))
+    params0 = np.tile(np.asarray([1.0, 1.0, 0.0], np.float32),
+                      (nexp, cpe, 1))
+    params0 += rng.uniform(-0.04, 0.04, params0.shape).astype(
+        np.float32)
+    width = np.tile(np.asarray([0.05, 0.05, 0.01], np.float32),
+                    (nexp, cpe, 1))
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                axis_names=("exp", "chain"))
+
+    def check(params0, width, noise, log_u, rb, *dd):
+        nll0_hi = []
+        nll0_lo = []
+        for e in range(nexp):
+            h, l = stack.fused_nll_pair(params0[e], rb[e], dd, st)
+            nll0_hi.append(h)
+            nll0_lo.append(l)
+        nll0_hi = jnp.stack(nll0_hi)
+        nll0_lo = jnp.stack(nll0_lo)
+
+        def body(params_l, hi_l, lo_l, width_l, noise_l, logu_l, rb_l,
+                 *dd_l):
+            s, n, a = stack.fused_segment(
+                params_l, (hi_l, lo_l), width_l, rb_l, dd_l,
+                noise_l, logu_l, st)
+            return s, n
+
+        with mesh:
+            got_s, got_n = jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P("exp", "chain"), P("exp", "chain"),
+                          P("exp", "chain"), P("exp", "chain"),
+                          P(None, "exp", "chain"),
+                          P(None, "exp", "chain"), P("exp"), P()),
+                out_specs=(P(None, "exp", "chain"),
+                           P(None, "exp", "chain")),
+                check_vma=False)(
+                    params0, nll0_hi, nll0_lo, width, noise, log_u,
+                    rb, *dd)
+
+        diff = jnp.float32(0.0)
+        for e in range(nexp):
+            for c in range(cpe):
+                s1, n1, _ = stack.fused_segment(
+                    params0[e, c], (nll0_hi[e, c], nll0_lo[e, c]),
+                    width[e, c], rb[e], dd, noise[:, e, c],
+                    log_u[:, e, c], st)
+                diff = jnp.maximum(diff, jnp.max(jnp.abs(
+                    got_s[:, e, c] - s1)))
+                diff = jnp.maximum(diff, jnp.max(jnp.abs(
+                    got_n[:, e, c] - n1)))
+        return diff
+
+    _run(check, jnp.asarray(params0), jnp.asarray(width),
+         jnp.asarray(noise), jnp.asarray(log_u), rb, *dd)
+
+
+@case("fused_segment_fullcov_batched")
+def smoke_fused_segment_fullcov_batched():
+    """Batched per-chain-tril proposals through the whole-segment
+    kernel (the native form multi-chain full_cov uses,
+    metropolis._run_chains_fullcov_batched): each chain must match a
+    standalone single-chain tril launch bit-for-bit."""
+    import jax.numpy as jnp
+
+    stack, st, data, rng = _fused_stack_fixture(29)
+    if not stack.supports_fused:
+        if INTERPRET:
+            print("  (skipped: CPU stack has no pallas path)",
+                  file=sys.stderr)
+            return
+        raise AssertionError("stack should support the fused path")
+    stack.set_data(data)
+    rb = stack._read_bins
+    dd = stack.device_data
+    nch, nsteps, npar = 2, 12, 3
+    noise = rng.normal(size=(nsteps, nch, npar)).astype(np.float32)
+    log_u = np.log(rng.uniform(size=(nsteps, nch)).astype(np.float32))
+    params0 = np.tile(np.asarray([1.0, 1.0, 0.0], np.float32),
+                      (nch, 1))
+    params0[1, 1] = 1.1
+    trils = np.zeros((nch, npar, npar), np.float32)
+    trils[0] = [[0.04, 0.0, 0.0], [-0.02, 0.03, 0.0], [0.0, 0.0, 0.01]]
+    trils[1] = [[0.02, 0.0, 0.0], [0.01, 0.05, 0.0], [0.0, 0.01, 0.02]]
+
+    def check(params0, trils, noise, log_u, rb, *dd):
+        hi, lo = stack.fused_nll_pair(params0, rb, dd, st)
+        got_s, got_n, _ = stack.fused_segment(
+            params0, (hi, lo), trils, rb, dd, noise, log_u, st)
+        diff = jnp.float32(0.0)
+        for c in range(nch):
+            s1, n1, _ = stack.fused_segment(
+                params0[c], (hi[c], lo[c]), trils[c], rb, dd,
+                noise[:, c], log_u[:, c], st)
+            diff = jnp.maximum(diff, jnp.max(jnp.abs(got_s[:, c] - s1)))
+            diff = jnp.maximum(diff, jnp.max(jnp.abs(got_n[:, c] - n1)))
+        return diff
+
+    _run(check, jnp.asarray(params0), jnp.asarray(trils),
+         jnp.asarray(noise), jnp.asarray(log_u), rb, *dd)
+
+
 def main():
     import jax
 

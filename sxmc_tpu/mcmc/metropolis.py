@@ -272,9 +272,12 @@ def run_segment(mcmc: MCMC, params, cur_nll, width, read_bins,
     segment runs as ONE whole-segment kernel launch
     (PdfStack.fused_segment): propose/rebuild/NLL/accept all in-kernel,
     no per-step XLA dispatch.  The accept rule there is the
-    measure-equivalent log form (see pallas_fused_segment); state in
-    and out is identical to the scan path, so checkpoint segments
-    compose across both.
+    measure-equivalent log form (see pallas_fused_segment): the state
+    layout is identical to the scan path, so checkpoint segments LOAD
+    across both, but resuming on a build with different fused
+    eligibility (e.g. a CPU stack resuming a TPU run) is only
+    statistically, not bitwise, reproducible — accepts within rounding
+    of the u == exp(delta) boundary may differ.
     """
     if (not _blocked_enabled(mcmc, rate_substeps)
             and _fused_ok(mcmc, read_bins)
@@ -509,19 +512,18 @@ def _make_step_cov(mcmc: MCMC, read_bins, device_data,
     return step
 
 
-def retune_scale_tril(mcmc: MCMC, tril, phase_samples):
-    """Haario full-covariance retune: L = chol((2.4^2/d) * cov + jitter).
+def _tril_from_cov(mcmc: MCMC, tril, cov):
+    """Haario rescale of a sample covariance into a proposal
+    scale_tril: L = chol((2.4^2/d) * cov + jitter).
 
     Fixed parameters get zero rows (pinned); a degenerate covariance
     (parameter stuck during the phase) falls back to the previous L.
+    Shared by :func:`retune_scale_tril` (two-pass covariance from the
+    phase history) and the sharded ensemble's running-moment retune
+    (parallel.ensemble._sharded_retune_cov).
     """
     free = jnp.asarray(~mcmc.parameter_fixed)
     d = max(mcmc.nfloat, 1)
-    x = phase_samples
-    n = x.shape[0]
-    mu = x.mean(axis=0)
-    xc = (x - mu) * free[None, :]
-    cov = (xc.T @ xc) / jnp.float32(max(n - 1, 1))
     # Unit diagonal on fixed entries keeps the Cholesky well-posed;
     # their L rows are zeroed below.
     fixed_diag = jnp.diag(jnp.where(free, 0.0, 1.0))
@@ -534,8 +536,18 @@ def retune_scale_tril(mcmc: MCMC, tril, phase_samples):
     # diagonal retune's rms == 0 case) or a failed factorization keep
     # the previous proposal instead of freezing the chain.
     bad = jnp.isnan(new).any() | (jnp.max(jnp.diag(cov)) <= 0)
-    new = jnp.where(bad, tril, new * free[:, None])
-    return new
+    return jnp.where(bad, tril, new * free[:, None])
+
+
+def retune_scale_tril(mcmc: MCMC, tril, phase_samples):
+    """Haario full-covariance retune from a phase's sample history."""
+    free = jnp.asarray(~mcmc.parameter_fixed)
+    x = phase_samples
+    n = x.shape[0]
+    mu = x.mean(axis=0)
+    xc = (x - mu) * free[None, :]
+    cov = (xc.T @ xc) / jnp.float32(max(n - 1, 1))
+    return _tril_from_cov(mcmc, tril, cov)
 
 
 def _initial_scale_tril(mcmc: MCMC) -> jnp.ndarray:
@@ -545,15 +557,21 @@ def _initial_scale_tril(mcmc: MCMC) -> jnp.ndarray:
 
 def _run_single_chain_fullcov(mcmc: MCMC, key, read_bins, device_data,
                               *, nsteps: int, burnin_steps: int,
-                              debug_mode: bool):
+                              debug_mode: bool,
+                              allow_fused: bool = False):
     """One chain with full-covariance adaptive proposals (traced).
 
     Phase structure matches :func:`_run_single_chain`: the first
     burn-in phase walks with the diagonal initial widths (no covariance
     estimate exists yet), each retune replaces the proposal with the
     Haario-scaled sample covariance of the finished phase.
+
+    ``allow_fused`` must only be set when the call is NOT under vmap
+    (the :func:`_fused_ok` contract); vmapped multi-chain full_cov
+    runs the kernel's native batched tril form instead
+    (:func:`_run_chains_fullcov_batched`).
     """
-    if _fused_ok(mcmc, read_bins):
+    if allow_fused and _fused_ok(mcmc, read_bins):
         def run_phase(carry, phase_key, n):
             params, cur, tril = carry
             return _fused_segment_history(
@@ -624,16 +642,105 @@ def run_segment_cov(mcmc: MCMC, params, cur_nll, tril, read_bins,
 def _run_chains_fullcov(mcmc: MCMC, chain_keys, read_bins, device_data,
                         nsteps: int, burnin_steps: int,
                         debug_mode: bool, rate_substeps: int = 0):
-    """Vmapped full-covariance chains (see
-    :func:`_run_single_chain_fullcov`).  ``rate_substeps`` is accepted
-    for signature parity and must be 0 (blocked updates are a
-    different proposal structure)."""
+    """Full-covariance chains (see
+    :func:`_run_single_chain_fullcov`).  A single chain runs unvmapped
+    so the whole-segment kernel applies; multiple chains on a fused-
+    eligible stack run lock-step through the kernel's native batched
+    per-chain-tril form (NEVER the generic vmap batching rule over the
+    kernel — the :func:`_fused_ok` contract); otherwise chains vmap
+    over the scan path.  ``rate_substeps`` is accepted for signature
+    parity and must be 0 (blocked updates are a different proposal
+    structure)."""
     del rate_substeps
+    nchains = chain_keys.shape[0]
+    if nchains == 1:
+        s, nl, a = _run_single_chain_fullcov(
+            mcmc, chain_keys[0], read_bins, device_data, nsteps=nsteps,
+            burnin_steps=burnin_steps, debug_mode=debug_mode,
+            allow_fused=True)
+        return s[None], (nl[0][None], nl[1][None]), a[None]
+    if _fused_ok(mcmc, read_bins):
+        return _run_chains_fullcov_batched(
+            mcmc, chain_keys, read_bins, device_data, nsteps,
+            burnin_steps, debug_mode)
     run = functools.partial(
         _run_single_chain_fullcov, mcmc, nsteps=nsteps,
         burnin_steps=burnin_steps, debug_mode=debug_mode)
     return jax.vmap(run, in_axes=(0, None, None))(
         chain_keys, read_bins, device_data)
+
+
+def _run_chains_fullcov_batched(mcmc: MCMC, chain_keys, read_bins,
+                                device_data, nsteps: int,
+                                burnin_steps: int, debug_mode: bool):
+    """Lock-step full-covariance chains through ONE whole-segment
+    kernel launch per phase (the per-chain-tril analog of the diagonal
+    mega-phase in :func:`_run_chains_batched`).  Retunes run the
+    Haario covariance rescale per chain."""
+    nchains = chain_keys.shape[0]
+    st = mcmc.static
+    npar = mcmc.nparameters
+
+    def phase_xs(ks, n):
+        # Identical per-chain derivation to _presample(m=0),
+        # scan-ordered: noise (n, nchains, npar), u (n, nchains).
+        split = jax.vmap(lambda k: jax.random.split(k, 2 * n).reshape(
+            n, 2, -1))(ks)
+        noise = jax.vmap(jax.vmap(
+            lambda k: jax.random.normal(k, (npar,))))(split[:, :, 0])
+        u = jax.vmap(jax.vmap(
+            lambda k: jax.random.uniform(k, ())))(split[:, :, 1])
+        return jnp.moveaxis(noise, 0, 1), jnp.moveaxis(u, 0, 1)
+
+    def run_phase(carry, ks, n):
+        params, cur, tril = carry
+        noise, u = phase_xs(ks, n)
+        samples, nlls, accs = mcmc.stack.fused_segment(
+            params, cur, tril, read_bins, device_data, noise,
+            jnp.log(u), st, debug_mode)
+        carry2 = (samples[-1], (nlls[-1, :, 0], nlls[-1, :, 1]), tril)
+        return carry2, (samples, (nlls[:, :, 0], nlls[:, :, 1]), accs)
+
+    def retune(tril, phase_samples):
+        # phase_samples: (n, nchains, npar) -> per-chain covariance.
+        return jax.vmap(
+            lambda t, s: retune_scale_tril(mcmc, t, s),
+            in_axes=(0, 1))(tril, phase_samples)
+
+    params0 = jnp.broadcast_to(
+        jnp.asarray(mcmc.parameter_means, jnp.float32), (nchains, npar))
+    nll0 = _chain_nll_batch(mcmc, read_bins, device_data, nchains,
+                            allow_fused=True)(params0)
+    tril0 = jnp.broadcast_to(_initial_scale_tril(mcmc)[None],
+                             (nchains, npar, npar))
+    carry = (params0, nll0, tril0)
+
+    keys3 = jax.vmap(lambda k: jax.random.split(k, 3))(chain_keys)
+    outs = []
+    if burnin_steps > 0:
+        carry, (s1, n1, a1) = run_phase(carry, keys3[:, 0], burnin_steps)
+        p, c, t = carry
+        carry = (p, c, retune(t, s1))
+        carry, (s2, n2, a2) = run_phase(carry, keys3[:, 1], burnin_steps)
+        p, c, t = carry
+        carry = (p, c, retune(t, s2))
+        if debug_mode:
+            outs += [(s1, n1, a1), (s2, n2, a2)]
+
+    remaining = max(nsteps - (2 * burnin_steps if burnin_steps > 0
+                              else 0), 0)
+    if remaining > 0:
+        carry, (s3, n3, a3) = run_phase(carry, keys3[:, 2], remaining)
+        outs.append((s3, n3, a3))
+
+    samples = jnp.moveaxis(
+        jnp.concatenate([o[0] for o in outs], axis=0), 0, 1)
+    nlls = (jnp.moveaxis(
+        jnp.concatenate([o[1][0] for o in outs], axis=0), 0, 1),
+        jnp.moveaxis(
+            jnp.concatenate([o[1][1] for o in outs], axis=0), 0, 1))
+    accepts = jnp.concatenate([o[2] for o in outs], axis=0)
+    return samples, nlls, accepts.mean(axis=0)
 
 
 def _blocked_enabled(mcmc: MCMC, rate_substeps: int) -> bool:

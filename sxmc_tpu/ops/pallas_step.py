@@ -40,15 +40,23 @@ carry TwoSum compensation at every combine, so the finished pair
 agrees with nll_pair to ~2^-48 relative — exact at the dNLL ~ 0.5
 resolution the Metropolis accept needs.
 
+Weighted MC samples (since r5): the histogram accumulates pallas_hist's
+f32 weighted one-hot branch (bin values still bit-identical to the
+split path), and the in-domain norms — no longer integer-exact —
+accumulate as compensated TwoSum pairs per MC chunk in SMEM scratch,
+seeded from host-computed static-row sums.  The fused NLL then agrees
+with the split path to ~1 ulp of the norm (the f32 association of
+`hists.sum()` vs the chunk-pair sum differs), instead of bit-exactly.
+
 Restrictions (callers fall back to the split path): per-segment packed
-stacks only, no MC weights (norm exactness needs integer counts), no
-KDE rows, no per-event NLL weights.
+stacks only, no KDE rows, no per-event NLL weights (those only occur
+in the gradient MLE tier, which uses the differentiable jnp path).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -63,15 +71,26 @@ _EV_VMEM_BUDGET = 8 << 20
 _BARRIER = 1e18
 
 
-def pick_event_chunk(nevents: int, nsignals: int, b1: int, b2: int
-                     ) -> int:
+def pick_event_chunk(nevents: int, nsignals: int, b1: int, b2: int,
+                     nch: int = 1, nexp: int = 1) -> int:
     """Largest 128 * 2^k event chunk whose phase-B working set
-    (rb block + f32 one-hot pair + the (b1, chunk) matmul output)
-    fits the VMEM budget.  Power-of-two row counts keep the in-kernel
-    pair tree-reduction to static halving slices."""
+    (rb block + f32 one-hot pair + the (b1, chunk) matmul output +
+    the per-chain compensated pair scratch) fits the VMEM budget.
+    Power-of-two row counts keep the in-kernel pair tree-reduction to
+    static halving slices.
+
+    ``nch`` (lock-step chains sharing the launch) and ``nexp``
+    (experiment groups, each with its own rb rows) scale the
+    chunk-independent scratch — the (nch, nsignals, b1, b2) histogram
+    accumulator — and the per-element cost, so large batched launches
+    shrink the chunk instead of overflowing the 16 MB scoped VMEM."""
+    # Chunk-independent scratch: per-chain histogram accumulator (and
+    # its init block), charged against the budget up front.
+    fixed = 2 * 4 * nch * nsignals * b1 * max(b2, 128)
+    budget = max(_EV_VMEM_BUDGET - fixed, 1 << 20)
     chunk = 65536
-    per_el = 4 * (nsignals + (b1 + b2) + b1)
-    while chunk > 1024 and chunk * per_el > _EV_VMEM_BUDGET:
+    per_el = 4 * (nexp * nsignals + (b1 + b2) + b1 + 2 * nch)
+    while chunk > 1024 and chunk * per_el > budget:
         chunk //= 2
     need = 128
     while need < min(nevents, chunk):
@@ -109,7 +128,7 @@ def _pair_tree_reduce(hi, lo):
 def _phase_bodies(nfields, nobs, systematics, lower, upper, nbins,
                   b1, b2, b2_shift, mc_chunk, ev_chunk, nsignals,
                   n_mc, bin_volume, nexpected, source_id, means,
-                  sigmas, nsources):
+                  sigmas, nsources, has_wrow=False):
     """Shared per-phase compute bodies for the fused kernels.
 
     Every body takes a scalar-parameter accessor ``par(idx)`` so the
@@ -118,6 +137,14 @@ def _phase_bodies(nfields, nobs, systematics, lower, upper, nbins,
     proposal scratch for the whole-segment kernel
     (``pallas_fused_segment``).  Keeping the math in one place is what
     makes the two kernels bit-identical per proposal.
+
+    ``has_wrow``: the packed MC block carries a per-sample weight row
+    (row ``nfields``); the histogram accumulates f32 one-hots scaled
+    by the weights (exactly pallas_hist's weighted branch) and
+    ``mc_update`` additionally returns the chunk's in-domain weight
+    sum for the caller's compensated norm accumulator — weighted
+    norms are NOT integer-exact, so they accumulate as TwoSum pairs
+    across chunks instead of re-summing the histogram block.
     """
     strides = hist_ops.bin_strides(nbins)
     scales = tuple(nbins[i] / (upper[i] - lower[i]) for i in range(nobs))
@@ -126,7 +153,8 @@ def _phase_bodies(nfields, nobs, systematics, lower, upper, nbins,
     npar = len(means)
 
     def mc_update(sid, mc_ref, mask_ref, par):
-        """(nsignals, b1, b2) histogram increment for one MC chunk.
+        """(nsignals, b1, b2) histogram increment for one MC chunk,
+        plus the chunk's in-domain (weighted) sample sum.
 
         Identical math to pallas_hist._make_per_segment_kernel, with
         chunk_seg carrying GLOBAL signal indices so static rows keep
@@ -176,49 +204,72 @@ def _phase_bodies(nfields, nobs, systematics, lower, upper, nbins,
             jnp.int32, (b2, mc_chunk), 0)
         hi_iota = jax.lax.broadcasted_iota(
             jnp.int32, (b1, mc_chunk), 0)
-        onehot_lo = (lo == lo_iota).astype(jnp.bfloat16)
-        onehot_hi = (hi == hi_iota).astype(jnp.bfloat16)
+        if has_wrow:
+            # f32 one-hots so the per-sample weight keeps full
+            # precision through the MXU accumulate (pallas_hist's
+            # weighted branch, bit-identical per chunk).
+            wrow = mc_ref[nfields]
+            onehot_lo = (lo == lo_iota).astype(jnp.float32)
+            onehot_hi = (hi == hi_iota).astype(
+                jnp.float32) * wrow.reshape(1, mc_chunk)
+            cw = jnp.sum(jnp.where(valid, wrow, 0.0))
+        else:
+            onehot_lo = (lo == lo_iota).astype(jnp.bfloat16)
+            onehot_hi = (hi == hi_iota).astype(jnp.bfloat16)
+            cw = jnp.sum(valid.astype(jnp.float32))
         part = jax.lax.dot_general(
             onehot_hi, onehot_lo, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return seg_onehot * part[None, :, :]
+        return seg_onehot * part[None, :, :], cw
 
-    def norm_w(block, par, j):
+    def norm_of_block(block):
         # In-domain count: total minus the spare trash cell
-        # (_balanced_split) — integer-exact in f32.
-        norm = jnp.sum(block) - block[b1 - 1, b2 - 1]
+        # (_balanced_split) — integer-exact in f32 for unweighted
+        # counts (the weighted path reads the compensated norm
+        # accumulator instead).
+        return jnp.sum(block) - block[b1 - 1, b2 - 1]
+
+    def weight_of(norm, par, j):
         # Same association as ops.nll.signal_weights:
         # ((rate * nexpected) * norm) / n_mc.
         rate = par(source_id[j])
-        w = ((rate * nexpected[j]) * norm) / n_mc[j]
-        return norm, w
+        return ((rate * nexpected[j]) * norm) / n_mc[j]
 
-    def ev_logs(rb_ref, hist_get, par):
-        """(g_ev, LANES) per-event log mixture for one event chunk.
+    def ev_onehot(rb_rows):
+        """Shared one-hot gather pair for one event chunk.
 
-        The one-hot gather pair is built ONCE from the canonical bin
-        id and shared by every signal: all signals bin the same
-        observables identically, so non-sentinel rows agree on the id
-        and the max over signal rows recovers it (sentinels are -1/-2;
-        an all-sentinel event gathers bin 0 and is masked to 0 per
-        signal exactly as before — bit-identical output, ~half the
-        per-event VPU work of per-signal one-hots).
+        Built ONCE from the canonical bin id and shared by every
+        signal AND every chain of the experiment the rb rows belong
+        to: all signals bin the same observables identically, so
+        non-sentinel rows agree on the id and the max over signal rows
+        recovers it (sentinels are -1/-2; an all-sentinel event
+        gathers bin 0 and is masked to 0 per signal — bit-identical
+        output, ~half the per-event VPU work of per-signal one-hots).
         """
         lo_iota = jax.lax.broadcasted_iota(
             jnp.int32, (b2, ev_chunk), 0)
         hi_iota = jax.lax.broadcasted_iota(
             jnp.int32, (b1, ev_chunk), 0)
-        rbs = [rb_ref[j].reshape(1, ev_chunk) for j in range(nsignals)]
+        rbs = [rb_rows[j].reshape(1, ev_chunk) for j in range(nsignals)]
         canon = rbs[0]
         for j in range(1, nsignals):
             canon = jnp.maximum(canon, rbs[j])
         pos = jnp.maximum(canon, 0)
         olo = (pos & (b2 - 1) == lo_iota).astype(jnp.float32)
         ohi = (pos >> b2_shift == hi_iota).astype(jnp.float32)
+        return rbs, olo, ohi
+
+    def ev_logs(oh, hist_get, par, norm_get):
+        """(g_ev, LANES) per-event log mixture for one event chunk,
+        from an :func:`ev_onehot` gather pair.  ``norm_get(j)`` is the
+        in-domain norm accessor (block sum, or the compensated
+        weighted accumulator)."""
+        rbs, olo, ohi = oh
         s = None
         for j in range(nsignals):
             block = hist_get(j)
-            norm, w = norm_w(block, par, j)
+            norm = norm_get(j)
+            w = weight_of(norm, par, j)
             m = jax.lax.dot_general(
                 block, olo, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -240,16 +291,17 @@ def _phase_bodies(nfields, nobs, systematics, lower, upper, nbins,
         err = (hi_acc - (s_new - bv_)) + (logsg - bv_)
         return s_new, lo_acc + err
 
-    def finish_pair(hist_get, par, e_hi, e_lo):
+    def finish_pair(hist_get, par, e_hi, e_lo, norm_get):
         """Scalar NLL finish: the in-kernel analog of
         ops.nll.finish_nll (w-term, constraints, barrier)."""
+        del hist_get  # norms arrive through norm_get
         ev_hi, ev_lo = _pair_tree_reduce(e_hi, e_lo)
 
         w_hi = jnp.float32(0.0)
         w_lo = jnp.float32(0.0)
         neg_rate = jnp.bool_(False)
         for j in range(nsignals):
-            _, w = norm_w(hist_get(j), par, j)
+            w = weight_of(norm_get(j), par, j)
             sn = w_hi + w
             bv = sn - w_hi
             w_lo = w_lo + ((w_hi - (sn - bv)) + (w - bv))
@@ -280,22 +332,48 @@ def _phase_bodies(nfields, nobs, systematics, lower, upper, nbins,
         l2b = jnp.where(bad, jnp.float32(0.0), l2b)
         return h2b, l2b
 
-    return mc_update, ev_logs, acc_pair, finish_pair
+    return (mc_update, ev_onehot, ev_logs, acc_pair, finish_pair,
+            norm_of_block)
+
+
+def _acc_norm_scratch(norm_s, c, sid, cw, nsignals):
+    """TwoSum-accumulate a chunk's in-domain weight sum into chain
+    ``c``'s per-signal norm pair, routed by the (dynamic) segment id
+    through static compares (no dynamic SMEM writes)."""
+    for j in range(nsignals):
+        cwj = jnp.where(sid == j, cw, jnp.float32(0.0))
+        hi0 = norm_s[c, j, 0]
+        lo0 = norm_s[c, j, 1]
+        sn = hi0 + cwj
+        bv = sn - hi0
+        err = (hi0 - (sn - bv)) + (cwj - bv)
+        norm_s[c, j, 0] = sn
+        norm_s[c, j, 1] = lo0 + err
 
 
 def _make_fused_kernel(nfields, nobs, systematics, lower, upper, nbins,
                        b1, b2, b2_shift, mc_chunk, ev_chunk, nsignals,
                        n_mc_chunks, grid, n_mc, bin_volume, nchains,
-                       nexpected, source_id, means, sigmas, nsources):
+                       nexpected, source_id, means, sigmas, nsources,
+                       weighted=False, has_wrow=False):
     batched = nchains is not None
     nch = nchains if batched else 1
-    mc_update, ev_logs, acc_pair, finish_pair = _phase_bodies(
+    (mc_update, ev_onehot, ev_logs, acc_pair, finish_pair,
+     norm_of_block) = _phase_bodies(
         nfields, nobs, systematics, lower, upper, nbins, b1, b2,
         b2_shift, mc_chunk, ev_chunk, nsignals, n_mc, bin_volume,
-        nexpected, source_id, means, sigmas, nsources)
+        nexpected, source_id, means, sigmas, nsources,
+        has_wrow=has_wrow)
 
-    def kernel(pars_ref, chunk_seg_ref, mask_ref, hist_init_ref,
-               mc_ref, rb_ref, hist_ref, ev_ref, nll_ref):
+    def kernel(*refs):
+        if weighted:
+            (pars_ref, chunk_seg_ref, mask_ref, hist_init_ref,
+             norm_init_ref, mc_ref, rb_ref, hist_ref, ev_ref,
+             nll_ref, norm_s) = refs
+        else:
+            (pars_ref, chunk_seg_ref, mask_ref, hist_init_ref,
+             mc_ref, rb_ref, hist_ref, ev_ref, nll_ref) = refs
+            norm_init_ref = norm_s = None
         i = pl.program_id(0)
 
         def par_of(c):
@@ -305,25 +383,40 @@ def _make_fused_kernel(nfields, nobs, systematics, lower, upper, nbins,
             return (lambda j: hist_ref[c, j]) if batched \
                 else (lambda j: hist_ref[j])
 
+        def norm_of(c):
+            if weighted:
+                return lambda j: norm_s[c, j, 0] + norm_s[c, j, 1]
+            h = hist_of(c)
+            return lambda j: norm_of_block(h(j))
+
         @pl.when(i == 0)
         def _init():
             hist_ref[:] = hist_init_ref[:]
             ev_ref[:] = jnp.zeros_like(ev_ref)
+            if weighted:
+                for c in range(nch):
+                    for j in range(nsignals):
+                        norm_s[c, j, 0] = norm_init_ref[0, j]
+                        norm_s[c, j, 1] = jnp.float32(0.0)
 
         @pl.when(i < n_mc_chunks)
         def _mc_phase():
             sid = chunk_seg_ref[0, i]
             for c in range(nch):
-                upd = mc_update(sid, mc_ref, mask_ref, par_of(c))
+                upd, cw = mc_update(sid, mc_ref, mask_ref, par_of(c))
                 if batched:
                     hist_ref[c] += upd
                 else:
                     hist_ref[:] += upd
+                if weighted:
+                    _acc_norm_scratch(norm_s, c, sid, cw, nsignals)
 
         @pl.when(i >= n_mc_chunks)
         def _ev_phase():
+            # One shared gather pair per chunk; chains reuse it.
+            oh = ev_onehot([rb_ref[j] for j in range(nsignals)])
             for c in range(nch):
-                logsg = ev_logs(rb_ref, hist_of(c), par_of(c))
+                logsg = ev_logs(oh, hist_of(c), par_of(c), norm_of(c))
                 hi_acc = ev_ref[c, 0] if batched else ev_ref[0]
                 lo_acc = ev_ref[c, 1] if batched else ev_ref[1]
                 s_new, lo_new = acc_pair(hi_acc, lo_acc, logsg)
@@ -339,7 +432,8 @@ def _make_fused_kernel(nfields, nobs, systematics, lower, upper, nbins,
             for c in range(nch):
                 e_hi = ev_ref[c, 0] if batched else ev_ref[0]
                 e_lo = ev_ref[c, 1] if batched else ev_ref[1]
-                h, l = finish_pair(hist_of(c), par_of(c), e_hi, e_lo)
+                h, l = finish_pair(hist_of(c), par_of(c), e_hi, e_lo,
+                                   norm_of(c))
                 nll_ref[c, 0] = h
                 nll_ref[c, 1] = l
 
@@ -359,6 +453,7 @@ def pallas_fused_step(
     hist_init: jnp.ndarray,
     rb_packed: jnp.ndarray,
     pars: jnp.ndarray,
+    norm_init: Optional[jnp.ndarray] = None,
     *,
     nfields: int,
     nobs: int,
@@ -393,6 +488,12 @@ def pallas_fused_step(
             (pad -2).
         pars: ``(nparams,)`` or ``(nchains, nparams)`` FULL parameter
             vector (rates then systematic coefficients).
+        norm_init: ``(1, nsignals)`` f32 — WEIGHTED stacks only: the
+            initial per-signal norms (host-computed weighted sums for
+            static rows, 0 for dynamic rows).  Its presence switches
+            the kernel to compensated norm accumulation (dynamic norms
+            TwoSum per MC chunk instead of the integer-exact block
+            sum); the packed block then carries the weight row.
         n_mc / nexpected / source_id / means / sigmas / nsources: the
             NLLStatic constants, as static tuples.
 
@@ -404,7 +505,11 @@ def pallas_fused_step(
         nll[..., 1]`` is the value ``ops.nll.nll_pair`` returns.
     """
     nrows, npad_mc_g, lanes = mc_packed.shape
-    assert lanes == LANES and nrows == nfields
+    weighted = norm_init is not None
+    has_wrow = nrows == nfields + 1
+    assert lanes == LANES and nrows in (nfields, nfields + 1)
+    assert not (has_wrow and not weighted), \
+        "a weight row requires norm_init"
     npad_mc = npad_mc_g * LANES
     assert npad_mc % mc_chunk == 0
     n_mc_chunks = npad_mc // mc_chunk
@@ -433,7 +538,7 @@ def pallas_fused_step(
         tuple(nbins), b1, b2, b2_shift, mc_chunk, ev_chunk, nsignals,
         n_mc_chunks, grid, tuple(n_mc), bin_volume, nchains,
         tuple(nexpected), tuple(source_id), tuple(means), tuple(sigmas),
-        nsources)
+        nsources, weighted=weighted, has_wrow=has_wrow)
 
     g_mc = mc_chunk // LANES
     nmask = mask_matrix.shape[0]
@@ -460,23 +565,36 @@ def pallas_fused_step(
     hist_idx = (lambda i: (0, 0, 0, 0)) if batched \
         else (lambda i: (0, 0, 0))
 
+    in_specs = [
+        pl.BlockSpec((pars2.shape[0], npar), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, n_mc_chunks), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((nmask, nsignals), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec(hist_shape, hist_idx,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nrows, g_mc, LANES), mc_index,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nsignals, g_ev, LANES), rb_index,
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [jnp.asarray(pars2, jnp.float32), chunk_seg,
+                mask_matrix, hist_init_b, mc_packed, rb_packed]
+    scratch = []
+    if weighted:
+        in_specs.insert(4, pl.BlockSpec((1, nsignals),
+                                        lambda i: (0, 0),
+                                        memory_space=pltpu.SMEM))
+        operands.insert(4, jnp.asarray(norm_init, jnp.float32
+                                       ).reshape(1, nsignals))
+        nch_s = nchains if batched else 1
+        scratch.append(pltpu.SMEM((nch_s, nsignals, 2), jnp.float32))
+
     hist, ev, nll_out = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((pars2.shape[0], npar), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_mc_chunks), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((nmask, nsignals), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(hist_shape, hist_idx,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nfields, g_mc, LANES), mc_index,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nsignals, g_ev, LANES), rb_index,
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(hist_shape, hist_idx,
                          memory_space=pltpu.VMEM),
@@ -490,9 +608,9 @@ def pallas_fused_step(
             jax.ShapeDtypeStruct(ev_shape, jnp.float32),
             jax.ShapeDtypeStruct(nll_shape, jnp.float32),
         ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(jnp.asarray(pars2, jnp.float32), chunk_seg, mask_matrix,
-      hist_init_b, mc_packed, rb_packed)
+    )(*operands)
     if not batched:
         nll_out = nll_out[0]
     return hist, ev, nll_out
@@ -502,21 +620,43 @@ def _make_segment_kernel(nfields, nobs, systematics, lower, upper,
                          nbins, b1, b2, b2_shift, mc_chunk, ev_chunk,
                          nsignals, n_mc_chunks, n_phases, n_mc,
                          bin_volume, nexpected, source_id, means,
-                         sigmas, nsources, debug_mode, use_tril, nch):
+                         sigmas, nsources, debug_mode, use_tril, nch,
+                         nexp, weighted=False, has_wrow=False):
     """Whole-segment kernel body; ``nch`` lock-step chains share every
-    MC/rb block fetch (the single-chain case is ``nch == 1``).  The
-    tril proposal branch is single-chain only (the batched runner is
-    diagonal)."""
+    MC/rb block fetch (the single-chain case is ``nch == 1``).
+
+    ``nexp`` is None for the shared-dataset form (one rb block for all
+    chains) or an int for the experiment-grouped form (the sharded
+    ensemble, SURVEY §2.2): rb arrives ``(nexp, nsignals, ...)`` and
+    chain ``c`` evaluates against experiment ``c // (nch // nexp)``'s
+    rb rows — the chains of one experiment share one gather-pair build
+    per event chunk, and every experiment shares the single MC fetch.
+
+    The tril proposal branch carries a per-chain lower-triangular
+    ``(nch, npar, npar)`` scale in SMEM (batched full-covariance
+    chains use the kernel's native form, never the generic vmap rule).
+    """
     npar = len(means)
-    mc_update, ev_logs, acc_pair, finish_pair = _phase_bodies(
+    (mc_update, ev_onehot, ev_logs, acc_pair, finish_pair,
+     norm_of_block) = _phase_bodies(
         nfields, nobs, systematics, lower, upper, nbins, b1, b2,
         b2_shift, mc_chunk, ev_chunk, nsignals, n_mc, bin_volume,
-        nexpected, source_id, means, sigmas, nsources)
+        nexpected, source_id, means, sigmas, nsources,
+        has_wrow=has_wrow)
+    cpe = nch // nexp if nexp else nch
 
-    def kernel(chunk_seg_ref, mask_ref, hist_init_ref, params0_ref,
-               nll0_ref, width_ref, noise_ref, logu_ref, mc_ref,
-               rb_ref, samples_ref, nlls_ref, acc_ref,
-               hist_s, ev_s, cur_s, prop_s, curnll_s):
+    def kernel(*refs):
+        if weighted:
+            (chunk_seg_ref, mask_ref, hist_init_ref, norm_init_ref,
+             params0_ref, nll0_ref, width_ref, noise_ref, logu_ref,
+             mc_ref, rb_ref, samples_ref, nlls_ref, acc_ref,
+             hist_s, ev_s, cur_s, prop_s, curnll_s, norm_s) = refs
+        else:
+            (chunk_seg_ref, mask_ref, hist_init_ref, params0_ref,
+             nll0_ref, width_ref, noise_ref, logu_ref, mc_ref,
+             rb_ref, samples_ref, nlls_ref, acc_ref,
+             hist_s, ev_s, cur_s, prop_s, curnll_s) = refs
+            norm_init_ref = norm_s = None
         s = pl.program_id(0)
         i = pl.program_id(1)
 
@@ -525,6 +665,12 @@ def _make_segment_kernel(nfields, nobs, systematics, lower, upper,
 
         def hist_of(c):
             return lambda j: hist_s[c, j]
+
+        def norm_of(c):
+            if weighted:
+                return lambda j: norm_s[c, j, 0] + norm_s[c, j, 1]
+            h = hist_of(c)
+            return lambda j: norm_of_block(h(j))
 
         @pl.when(i == 0)
         def _propose():
@@ -539,16 +685,21 @@ def _make_segment_kernel(nfields, nobs, systematics, lower, upper,
             hist_s[:] = jnp.broadcast_to(hist_init_ref[:],
                                          hist_s.shape)
             ev_s[:] = jnp.zeros_like(ev_s)
+            if weighted:
+                for c in range(nch):
+                    for j in range(nsignals):
+                        norm_s[c, j, 0] = norm_init_ref[0, j]
+                        norm_s[c, j, 1] = jnp.float32(0.0)
             for c in range(nch):
                 if use_tril:
                     # Full-covariance proposal: prop = cur + L @ z
-                    # with L lower-triangular
+                    # with L lower-triangular, PER CHAIN
                     # (metropolis._make_step_cov); zero rows pin fixed
                     # parameters exactly.
                     for k in range(npar):
                         acc = jnp.float32(0.0)
                         for j in range(k + 1):
-                            acc = acc + (width_ref[k, j]
+                            acc = acc + (width_ref[c, k, j]
                                          * noise_ref[0, c, j])
                         prop_s[c, k] = cur_s[c, k] + acc
                 else:
@@ -566,22 +717,35 @@ def _make_segment_kernel(nfields, nobs, systematics, lower, upper,
         def _mc_phase():
             sid = chunk_seg_ref[0, i]
             for c in range(nch):
-                hist_s[c] += mc_update(sid, mc_ref, mask_ref,
-                                       par_of(c))
+                upd, cw = mc_update(sid, mc_ref, mask_ref, par_of(c))
+                hist_s[c] += upd
+                if weighted:
+                    _acc_norm_scratch(norm_s, c, sid, cw, nsignals)
 
         @pl.when(i >= n_mc_chunks)
         def _ev_phase():
-            for c in range(nch):
-                logsg = ev_logs(rb_ref, hist_of(c), par_of(c))
-                s_new, lo_new = acc_pair(ev_s[c, 0], ev_s[c, 1], logsg)
-                ev_s[c, 0] = s_new
-                ev_s[c, 1] = lo_new
+            # One shared gather pair per (experiment, chunk); the
+            # experiment's chains reuse it.
+            for e in range(nexp or 1):
+                rows = ([rb_ref[e, j] for j in range(nsignals)]
+                        if nexp else
+                        [rb_ref[j] for j in range(nsignals)])
+                oh = ev_onehot(rows)
+                for cc in range(cpe):
+                    c = e * cpe + cc
+                    logsg = ev_logs(oh, hist_of(c), par_of(c),
+                                    norm_of(c))
+                    s_new, lo_new = acc_pair(ev_s[c, 0], ev_s[c, 1],
+                                             logsg)
+                    ev_s[c, 0] = s_new
+                    ev_s[c, 1] = lo_new
 
         @pl.when(i == n_phases - 1)
         def _accept():
             for c in range(nch):
                 prop_hi, prop_lo = finish_pair(hist_of(c), par_of(c),
-                                               ev_s[c, 0], ev_s[c, 1])
+                                               ev_s[c, 0], ev_s[c, 1],
+                                               norm_of(c))
                 cur_hi = curnll_s[c, 0]
                 cur_lo = curnll_s[c, 1]
                 if debug_mode:
@@ -633,6 +797,7 @@ def pallas_fused_segment(
     width: jnp.ndarray,
     noise: jnp.ndarray,
     log_u: jnp.ndarray,
+    norm_init: Optional[jnp.ndarray] = None,
     *,
     nfields: int,
     nobs: int,
@@ -680,9 +845,14 @@ def pallas_fused_segment(
         nll0: ``(2,)`` f32 initial compensated NLL pair.
         width: ``(npar,)`` f32 jump widths (<= 0 pins a parameter),
             or an ``(npar, npar)`` lower-triangular ``scale_tril`` for
-            full-covariance proposals ``cur + L @ z`` (zero rows pin).
+            full-covariance proposals ``cur + L @ z`` (zero rows pin);
+            batched chains pass ``(nchains, npar)`` widths or
+            ``(nchains, npar, npar)`` per-chain trils.
         noise: ``(nsteps, npar)`` f32 presampled N(0, 1) proposals.
         log_u: ``(nsteps,)`` f32 presampled log accept uniforms.
+        norm_init: ``(1, nsignals)`` f32 — WEIGHTED stacks only (see
+            ``pallas_fused_step``): switches to compensated norm
+            accumulation, reset per step at the propose phase.
 
     Batched lock-step chains: pass ``params0`` as ``(nchains, npar)``
     (with ``nll0`` ``(nchains, 2)``, ``width`` ``(nchains, npar)``,
@@ -690,6 +860,15 @@ def pallas_fused_segment(
     ``(nsteps, nchains)``) and every chain advances per grid step with
     ONE shared fetch of each MC/rb block — the whole multi-chain
     segment is still a single launch.
+
+    Experiment-grouped chains (the sharded-ensemble shard body): pass
+    ``rb_packed`` as ``(nexp, nsignals, npad_ev/128, 128)`` with the
+    batched ``params0 (nchains, npar)`` where ``nchains`` is
+    ``nexp * chains_per_exp`` and chain ``c`` belongs to experiment
+    ``c // chains_per_exp``.  Each experiment's chains share one
+    gather-pair build per event chunk; per-chain trajectories are
+    bit-identical to the shared-dataset form run with that
+    experiment's rb.
 
     Returns:
         ``(samples, nlls, accepts)``: post-accept parameter history
@@ -699,12 +878,21 @@ def pallas_fused_segment(
         npar)`` / ``(nsteps, nchains, 2)`` / ``(nsteps, nchains)``.
     """
     nrows, npad_mc_g, lanes = mc_packed.shape
-    assert lanes == LANES and nrows == nfields
+    weighted = norm_init is not None
+    has_wrow = nrows == nfields + 1
+    assert lanes == LANES and nrows in (nfields, nfields + 1)
+    assert not (has_wrow and not weighted), \
+        "a weight row requires norm_init"
     npad_mc = npad_mc_g * LANES
     assert npad_mc % mc_chunk == 0
     n_mc_chunks = npad_mc // mc_chunk
 
-    nsig_rb, npad_ev_g, lanes2 = rb_packed.shape
+    grouped = rb_packed.ndim == 4
+    if grouped:
+        nexp, nsig_rb, npad_ev_g, lanes2 = rb_packed.shape
+    else:
+        nexp = None
+        nsig_rb, npad_ev_g, lanes2 = rb_packed.shape
     assert lanes2 == LANES and nsig_rb == nsignals
     npad_ev = npad_ev_g * LANES
     assert npad_ev % ev_chunk == 0
@@ -717,6 +905,7 @@ def pallas_fused_segment(
     assert hist_init.shape == (nsignals, b1, b2)
     batched = params0.ndim == 2
     nch = params0.shape[0] if batched else 1
+    assert not grouped or (batched and nch % nexp == 0)
     npar = params0.shape[-1]
     assert npar == len(means) == len(sigmas)
     p0_in = jnp.asarray(params0, jnp.float32).reshape(nch, npar)
@@ -725,11 +914,14 @@ def pallas_fused_segment(
         nsteps, nch, npar)
     logu_in = jnp.asarray(log_u, jnp.float32).reshape(nsteps, 1, nch)
 
-    use_tril = width.ndim == 2 and width.shape == (npar, npar) \
-        and not batched
+    use_tril = (width.ndim == 3 and width.shape[-2:] == (npar, npar)) \
+        or (width.ndim == 2 and width.shape == (npar, npar)
+            and not batched)
     if use_tril:
-        width_in = jnp.asarray(width, jnp.float32)
-        width_spec = pl.BlockSpec((npar, npar), lambda s, i: (0, 0),
+        width_in = jnp.asarray(width, jnp.float32).reshape(
+            nch, npar, npar)
+        width_spec = pl.BlockSpec((nch, npar, npar),
+                                  lambda s, i: (0, 0, 0),
                                   memory_space=pltpu.SMEM)
     else:
         width_in = jnp.asarray(width, jnp.float32).reshape(nch, npar)
@@ -742,7 +934,8 @@ def pallas_fused_segment(
         tuple(nbins), b1, b2, b2_shift, mc_chunk, ev_chunk, nsignals,
         n_mc_chunks, n_phases, tuple(n_mc), bin_volume,
         tuple(nexpected), tuple(source_id), tuple(means), tuple(sigmas),
-        nsources, debug_mode, use_tril, nch)
+        nsources, debug_mode, use_tril, nch, nexp,
+        weighted=weighted, has_wrow=has_wrow)
 
     g_mc = mc_chunk // LANES
     nmask = mask_matrix.shape[0]
@@ -750,8 +943,18 @@ def pallas_fused_segment(
     def mc_index(s, i):
         return (0, jnp.minimum(i, n_mc_chunks - 1), 0)
 
-    def rb_index(s, i):
-        return (0, jnp.maximum(i - n_mc_chunks, 0), 0)
+    if grouped:
+        def rb_index(s, i):
+            return (0, 0, jnp.maximum(i - n_mc_chunks, 0), 0)
+
+        rb_spec = pl.BlockSpec((nexp, nsignals, g_ev, LANES), rb_index,
+                               memory_space=pltpu.VMEM)
+    else:
+        def rb_index(s, i):
+            return (0, jnp.maximum(i - n_mc_chunks, 0), 0)
+
+        rb_spec = pl.BlockSpec((nsignals, g_ev, LANES), rb_index,
+                               memory_space=pltpu.VMEM)
 
     # Per-step arrays are (nsteps, A, B) with (1, A, B) blocks: the
     # Mosaic block rule constrains the LAST TWO dims (divisible by
@@ -759,30 +962,48 @@ def pallas_fused_segment(
     def step_row(s, i):
         return (s, 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, n_mc_chunks), lambda s, i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((nmask, nsignals), lambda s, i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((nsignals, b1, b2), lambda s, i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nch, npar), lambda s, i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((nch, 2), lambda s, i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        width_spec,
+        pl.BlockSpec((1, nch, npar), step_row,
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, nch), step_row,
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((nrows, g_mc, LANES), mc_index,
+                     memory_space=pltpu.VMEM),
+        rb_spec,
+    ]
+    operands = [chunk_seg, mask_matrix,
+                jnp.asarray(hist_init, jnp.float32), p0_in, nll0_in,
+                width_in, noise_in, logu_in, mc_packed, rb_packed]
+    scratch = [
+        pltpu.VMEM((nch, nsignals, b1, b2), jnp.float32),
+        pltpu.VMEM((nch, 2, g_ev, LANES), jnp.float32),
+        pltpu.SMEM((nch, npar), jnp.float32),
+        pltpu.SMEM((nch, npar), jnp.float32),
+        pltpu.SMEM((nch, 2), jnp.float32),
+    ]
+    if weighted:
+        in_specs.insert(3, pl.BlockSpec((1, nsignals),
+                                        lambda s, i: (0, 0),
+                                        memory_space=pltpu.SMEM))
+        operands.insert(3, jnp.asarray(norm_init, jnp.float32
+                                       ).reshape(1, nsignals))
+        scratch.append(pltpu.SMEM((nch, nsignals, 2), jnp.float32))
+
     samples, nlls, accepts = pl.pallas_call(
         kernel,
         grid=(nsteps, n_phases),
-        in_specs=[
-            pl.BlockSpec((1, n_mc_chunks), lambda s, i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((nmask, nsignals), lambda s, i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((nsignals, b1, b2), lambda s, i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nch, npar), lambda s, i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((nch, 2), lambda s, i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            width_spec,
-            pl.BlockSpec((1, nch, npar), step_row,
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, nch), step_row,
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((nfields, g_mc, LANES), mc_index,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nsignals, g_ev, LANES), rb_index,
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, nch, npar), step_row,
                          memory_space=pltpu.SMEM),
@@ -796,17 +1017,9 @@ def pallas_fused_segment(
             jax.ShapeDtypeStruct((nsteps, nch, 2), jnp.float32),
             jax.ShapeDtypeStruct((nsteps, 1, nch), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((nch, nsignals, b1, b2), jnp.float32),
-            pltpu.VMEM((nch, 2, g_ev, LANES), jnp.float32),
-            pltpu.SMEM((nch, npar), jnp.float32),
-            pltpu.SMEM((nch, npar), jnp.float32),
-            pltpu.SMEM((nch, 2), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(chunk_seg, mask_matrix, jnp.asarray(hist_init, jnp.float32),
-      p0_in, nll0_in, width_in, noise_in, logu_in,
-      mc_packed, rb_packed)
+    )(*operands)
     if batched:
         return samples, nlls, accepts[:, 0, :]
     return (samples.reshape(nsteps, npar), nlls.reshape(nsteps, 2),

@@ -3,19 +3,32 @@
 Replaces the reference's serial experiment loop (sxmc.cpp:59-145): all
 ``nexperiments`` datasets are padded to a common event count (padding
 rows carry an unknown dataset tag, so their read-bin sentinel -2 makes
-them invisible to the NLL), their chains run as one
-``vmap``-over-experiments x ``vmap``-over-chains batch, and the batch's
-leading axes are sharded over the mesh's {exp, chain} axes with pjit.
+them invisible to the NLL), their chains run as one batch over
+{experiments x chains}, and the batch's leading axes are sharded over
+the mesh's {exp, chain} axes.
+
+On a fused-eligible stack (Pallas per-segment, floating systematics)
+the batch advances through the experiment-grouped whole-segment kernel
+under ``shard_map``: each shard runs ONE kernel launch per segment for
+its local (exp, chain) block — per-experiment read bins batched into
+the kernel, chains of one experiment sharing each gather-pair build,
+all chains sharing each MC fetch (the same zero-dispatch hot loop as
+the single-chip ``_run_chains_batched``, now on every pod shard).
+Other stacks (CPU, weighted/KDE, blocked Gibbs) run the vmapped scan
+steppers, auto-partitioned by jit.
 
 Checkpointing: with ``checkpoint_steps > 0`` the batched walk runs in
 fixed-size segments with the FULL batched chain state (params,
-compensated NLL pairs, widths, per-phase moment accumulators for the
-retunes) persisted atomically after each segment — a preempted pod
-resumes exactly where the last completed segment ended
+compensated NLL pairs, proposal state, per-phase moment accumulators
+for the retunes) persisted atomically after each segment — a preempted
+pod resumes exactly where the last completed segment ended
 (``resume=True``), since datasets and per-segment keys are derived
 deterministically from ``fc.seed`` and the segment index.  Segment
 sample histories land in sidecar files and are concatenated at the
 end; results are bit-identical to an uninterrupted segmented run.
+Both proposals checkpoint: ``full_cov`` retunes resume exactly from
+running centered moments (count, sum, cross-products around the
+phase-start point) instead of the whole phase history.
 """
 
 from __future__ import annotations
@@ -54,29 +67,106 @@ def pad_datasets(datasets: Sequence[np.ndarray],
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mcmc", "nsteps", "debug_mode", "rate_substeps"))
+    static_argnames=("mcmc", "nsteps", "debug_mode", "rate_substeps",
+                     "proposal"))
 def _batched_segment(mcmc: MCMC, params, nll_pair, width, keys, rb,
                      device_data, nsteps: int, debug_mode: bool,
-                     rate_substeps: int = 0):
-    """One fixed-width segment of the (nexp, nchain) batched walk.
+                     rate_substeps: int = 0,
+                     proposal: str = "diagonal"):
+    """One fixed-width segment of the (nexp, nchain) batched walk on
+    the vmapped scan steppers (the fallback when the fused kernel does
+    not apply: CPU meshes, weighted/KDE stacks, blocked Gibbs).
 
     Explicit chain state in/out — the checkpointing building block
     (the batched analog of metropolis.run_segment; allow_fused stays
-    off because the steppers run under vmap here)."""
+    off because the steppers run under vmap here — fused-eligible
+    stacks take :func:`_batched_segment_fused` instead).  With
+    ``proposal="full_cov"`` the per-chain ``width`` slot carries the
+    ``(npar, npar)`` scale_tril."""
 
-    def one(p, nl, w, k, rb_):
-        step, init_extras, m = metropolis._make_stepper(
-            mcmc, rb_, device_data, debug_mode, rate_substeps,
-            allow_fused=False)
-        ks = jax.random.split(k, nsteps)
-        xs = metropolis._presample(ks, mcmc.nparameters, m)
-        carry = (p, nl, w) + tuple(init_extras(p))
-        carry, (samples, nlls, accepts) = jax.lax.scan(step, carry, xs)
-        return carry[0], carry[1], samples, nlls, accepts.mean()
+    if proposal == "full_cov":
+        def one(p, nl, t, k, rb_):
+            step = metropolis._make_step_cov(mcmc, rb_, device_data,
+                                             debug_mode)
+            ks = jax.random.split(k, nsteps)
+            carry, (samples, nlls, accepts) = jax.lax.scan(
+                step, (p, nl, t), ks)
+            return carry[0], carry[1], samples, nlls, accepts.mean()
+    else:
+        def one(p, nl, w, k, rb_):
+            step, init_extras, m = metropolis._make_stepper(
+                mcmc, rb_, device_data, debug_mode, rate_substeps,
+                allow_fused=False)
+            ks = jax.random.split(k, nsteps)
+            xs = metropolis._presample(ks, mcmc.nparameters, m)
+            carry = (p, nl, w) + tuple(init_extras(p))
+            carry, (samples, nlls, accepts) = jax.lax.scan(step, carry,
+                                                           xs)
+            return carry[0], carry[1], samples, nlls, accepts.mean()
 
     over_chains = jax.vmap(one, in_axes=(0, (0, 0), 0, 0, None))
     return jax.vmap(over_chains, in_axes=(0, (0, 0), 0, 0, 0))(
         params, nll_pair, width, keys, rb)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mcmc", "nsteps", "debug_mode", "mesh"))
+def _batched_segment_fused(mcmc: MCMC, params, nll_pair, width, keys,
+                           rb, device_data, nsteps: int,
+                           debug_mode: bool, mesh: Mesh):
+    """One fixed-width segment through the experiment-grouped
+    whole-segment kernel, shard_mapped over the mesh's {exp, chain}.
+
+    Same state contract and per-(exp, chain) key derivation as
+    :func:`_batched_segment` (``_presample`` per chain), so checkpoint
+    segments are interchangeable run-to-run on the same build; the
+    accept rule is the kernel's measure-equivalent log form.
+    ``width`` is ``(nexp, nchain, npar)`` diagonal widths or
+    ``(nexp, nchain, npar, npar)`` per-chain scale_trils (full_cov).
+    """
+    npar = mcmc.nparameters
+    stack = mcmc.stack
+    st = mcmc.static
+
+    def body(params_l, hi_l, lo_l, width_l, keys_l, rb_l, dd_l):
+        def presample_one(k):
+            ks = jax.random.split(k, nsteps)
+            noise, u = metropolis._presample(ks, npar, 0)
+            return noise[:, 0, :], jnp.log(u[:, 0])
+
+        noise, log_u = jax.vmap(jax.vmap(presample_one))(keys_l)
+        noise = jnp.moveaxis(noise, 2, 0)   # (nsteps, ne, nc, npar)
+        log_u = jnp.moveaxis(log_u, 2, 0)   # (nsteps, ne, nc)
+        samples, nlls, accs = stack.fused_segment(
+            params_l, (hi_l, lo_l), width_l, rb_l, dd_l, noise, log_u,
+            st, debug_mode)
+        # Histories: (nsteps, ne, nc, ...) -> (ne, nc, nsteps, ...).
+        samples_h = jnp.moveaxis(samples, 0, 2)
+        nll_h = jnp.moveaxis(nlls, 0, 2)
+        return (samples[-1], nlls[-1, :, :, 0], nlls[-1, :, :, 1],
+                samples_h, nll_h[..., 0], nll_h[..., 1],
+                jnp.moveaxis(accs, 0, 2).mean(axis=2))
+
+    wspec = (P("exp", "chain", None, None) if width.ndim == 4
+             else P("exp", "chain", None))
+    run = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("exp", "chain", None), P("exp", "chain"),
+                  P("exp", "chain"), wspec, P("exp", "chain", None),
+                  P("exp", None, None), P()),
+        out_specs=(P("exp", "chain", None), P("exp", "chain"),
+                   P("exp", "chain"), P("exp", "chain", None, None),
+                   P("exp", "chain", None), P("exp", "chain", None),
+                   P("exp", "chain")),
+        # pallas_call carries no varying-mesh-axes metadata, so the
+        # vma checker cannot see through the in-shard kernel.
+        check_vma=False,
+    )
+    hi, lo = nll_pair
+    p, out_hi, out_lo, samples, nll_hi, nll_lo, acc = run(
+        params, hi, lo, width, keys, rb, device_data)
+    return p, (out_hi, out_lo), samples, (nll_hi, nll_lo), acc
 
 
 def _segment_keys(key, nexp: int, nchain: int, phase: int, seg: int):
@@ -105,6 +195,39 @@ def _sharded_retune(mcmc: MCMC, width, count, psum, psumsq):
     return jnp.where(fixed[None, None, :], -1.0, new)
 
 
+def _sharded_retune_cov(mcmc: MCMC, tril, count, psum, pcross):
+    """Batched Haario full-covariance retune from running CENTERED
+    phase moments.
+
+    ``psum``/``pcross`` accumulate (x - c) and (x - c)(x - c)^T around
+    the phase-start point c, so the one-pass covariance
+    (pcross - n mu mu^T) / (n - 1) suffers no large-mean cancellation
+    in f32.  Per-parameter masking matches
+    :func:`metropolis.retune_scale_tril` (equal up to fp association);
+    the checkpoint carries only (count, sum, cross) instead of the
+    whole phase history."""
+    free = jnp.asarray(~mcmc.parameter_fixed, jnp.float32)
+    mu = psum / count
+    cov = (pcross - count * mu[..., :, None] * mu[..., None, :]) \
+        / jnp.maximum(count - 1.0, 1.0)
+    cov = cov * (free[:, None] * free[None, :])
+    return jax.vmap(jax.vmap(
+        lambda t, c: metropolis._tril_from_cov(mcmc, t, c)))(tril, cov)
+
+
+def _fused_route_ok(mcmc: MCMC, rb, mesh: Mesh, nchains: int,
+                    rate_substeps: int) -> bool:
+    """True when the segmented runner can drive the experiment-grouped
+    whole-segment kernel: fused-eligible stack, joint (non-blocked)
+    stepper, and batch axes divisible by the mesh (shard_map needs
+    even shards)."""
+    nexp = rb.shape[0]
+    return (metropolis._fused_ok(mcmc, rb[0])
+            and not metropolis._blocked_enabled(mcmc, rate_substeps)
+            and nexp % mesh.shape["exp"] == 0
+            and nchains % mesh.shape["chain"] == 0)
+
+
 def run_sharded_ensemble(
     fc: FitConfig,
     mesh: Optional[Mesh] = None,
@@ -120,20 +243,31 @@ def run_sharded_ensemble(
     the walk in persisted segments; ``resume=True`` continues a killed
     run from its last completed segment.  Returns the per-experiment
     likelihood spaces and upper limits on ``fc.signal_name``.
+
+    Fused-eligible stacks always run the segmented phase runner (in
+    memory when not checkpointing) so the batched whole-segment kernel
+    drives every shard; other stacks without checkpointing keep the
+    vmapped per-chain runners.
     """
     nsteps = nsteps or fc.nsteps
     if mesh is None:
         mesh = mesh_lib.auto_mesh(fc.nexperiments, fc.nchains)
-    if checkpoint_steps > 0:
-        if not checkpoint_path:
-            raise ValueError(
-                "checkpoint_steps > 0 requires checkpoint_path")
+    if checkpoint_steps > 0 and not checkpoint_path:
+        raise ValueError(
+            "checkpoint_steps > 0 requires checkpoint_path")
+
+    setup = _ensemble_setup(fc, nsteps)
+    mcmc, rb, key, nchains, burnin_steps, device_data = setup
+    # Debug (accept-all) fits keep the legacy runners, whose history
+    # includes the burn-in phases; the segmented runner keeps only the
+    # sampling phase.
+    if checkpoint_steps > 0 or (not fc.debug_mode and _fused_route_ok(
+            mcmc, rb, mesh, nchains,
+            getattr(fc, "rate_substeps", 0))):
         return _run_sharded_ensemble_segmented(
             fc, mesh, nsteps, verbose, checkpoint_path,
-            checkpoint_steps, resume)
+            checkpoint_steps, resume, setup)
 
-    mcmc, rb, key, nchains, burnin_steps, device_data = \
-        _ensemble_setup(fc, nsteps)
     keys = jnp.stack([
         jax.random.split(jax.random.fold_in(key, 1000 + i), nchains)
         for i in range(fc.nexperiments)])  # (nexp, nchain, 2)
@@ -164,11 +298,17 @@ def run_sharded_ensemble(
     samples = np.asarray(samples)  # (nexp, nchain, nkeep, npar)
     nlls = metropolis.nll_history_to_f64(nlls)
 
+    return _collect_results(fc, mcmc, samples, nlls, verbose)
+
+
+def _collect_results(fc, mcmc, samples, nll_vals, verbose):
+    """(nexp, nchain, nkeep, ...) histories -> lspaces + upper limits."""
     lspaces = []
     limits = []
     for i in range(fc.nexperiments):
         ls = LikelihoodSpace.from_arrays(
-            samples[i].reshape(-1, mcmc.nparameters), nlls[i].reshape(-1),
+            samples[i].reshape(-1, mcmc.nparameters),
+            nll_vals[i].reshape(-1),
             mcmc.parameter_names, cl=fc.confidence,
             error_type=fc.error_type)
         lspaces.append(ls)
@@ -227,24 +367,27 @@ def _save_state(path: str, **arrays) -> None:
 
 def _run_sharded_ensemble_segmented(
     fc: FitConfig, mesh: Mesh, nsteps: int, verbose: bool,
-    checkpoint_path: str, checkpoint_steps: int, resume: bool,
+    checkpoint_path: Optional[str], checkpoint_steps: int,
+    resume: bool, setup,
 ) -> Tuple[List[LikelihoodSpace], List[float]]:
-    """Segment-checkpointed batched walk (see module docstring).
+    """Segmented batched walk (see module docstring).
 
     Phase structure matches metropolis._run_single_chain: two burn-in
-    phases with a width retune after each (from running phase moments),
-    then the sampling phase whose segment histories are persisted and
-    concatenated.  Proposal styles beyond the diagonal stepper are not
-    segmented (full_cov retunes from the full phase history)."""
-    if getattr(fc, "proposal", "diagonal") == "full_cov":
-        raise NotImplementedError(
-            "segment checkpointing supports the diagonal proposal "
-            "(full_cov retunes need the whole phase history)")
-    mcmc, rb, key, nchains, burnin_steps, device_data = \
-        _ensemble_setup(fc, nsteps)
+    phases with a proposal retune after each (from running phase
+    moments), then the sampling phase.  With ``checkpoint_path`` the
+    state persists after every segment and sampling histories land in
+    sidecar files; without it (the fused always-on route) segments are
+    whole phases held in memory.  Proposals: diagonal widths or
+    full_cov scale_trils (both checkpoint/resume exactly)."""
+    full_cov = getattr(fc, "proposal", "diagonal") == "full_cov"
+    mcmc, rb, key, nchains, burnin_steps, device_data = setup
     nexp = fc.nexperiments
     npar = mcmc.nparameters
     rate_substeps = getattr(fc, "rate_substeps", 0)
+    if full_cov and rate_substeps:
+        raise ValueError(
+            "proposal='full_cov' is incompatible with rate_substeps")
+    use_fused = _fused_route_ok(mcmc, rb, mesh, nchains, rate_substeps)
 
     # Phase plan: (nsteps_in_phase, retune_after)
     remaining = max(nsteps - (2 * burnin_steps if burnin_steps > 0
@@ -254,8 +397,8 @@ def _run_sharded_ensemble_segmented(
         phases += [(burnin_steps, True), (burnin_steps, True)]
     phases.append((remaining, False))
 
-    state_file = _ckpt_file(checkpoint_path)
-    if resume and os.path.exists(state_file):
+    state_file = _ckpt_file(checkpoint_path) if checkpoint_path else None
+    if resume and state_file and os.path.exists(state_file):
         st = dict(np.load(state_file))
         params = jnp.asarray(st["params"])
         nll_hi = jnp.asarray(st["nll_hi"])
@@ -265,7 +408,9 @@ def _run_sharded_ensemble_segmented(
         done0 = int(st["done"])
         count = jnp.asarray(st["count"])
         psum = jnp.asarray(st["psum"])
-        psumsq = jnp.asarray(st["psumsq"])
+        psumsq = jnp.asarray(st["psumsq"]) if "psumsq" in st else None
+        pcross = jnp.asarray(st["pcross"]) if "pcross" in st else None
+        cref = jnp.asarray(st["cref"]) if "cref" in st else None
     else:
         def init_one(rb_):
             return metropolis.initial_state(mcmc, rb_, device_data)
@@ -274,92 +419,130 @@ def _run_sharded_ensemble_segmented(
         params = jnp.broadcast_to(p0[:, None], (nexp, nchains, npar))
         nll_hi = jnp.broadcast_to(n0[0][:, None], (nexp, nchains))
         nll_lo = jnp.broadcast_to(n0[1][:, None], (nexp, nchains))
-        width = jnp.broadcast_to(w0[:, None], (nexp, nchains, npar))
+        if full_cov:
+            tril0 = metropolis._initial_scale_tril(mcmc)
+            width = jnp.broadcast_to(tril0[None, None],
+                                     (nexp, nchains, npar, npar))
+        else:
+            width = jnp.broadcast_to(w0[:, None], (nexp, nchains, npar))
         phase0, done0 = 0, 0
         count = jnp.zeros((), jnp.float32)
         psum = jnp.zeros((nexp, nchains, npar), jnp.float32)
-        psumsq = jnp.zeros((nexp, nchains, npar), jnp.float32)
+        psumsq = (None if full_cov else
+                  jnp.zeros((nexp, nchains, npar), jnp.float32))
+        pcross = (jnp.zeros((nexp, nchains, npar, npar), jnp.float32)
+                  if full_cov else None)
+        cref = params if full_cov else None
+
+    def _moment_arrays():
+        m = dict(count=np.asarray(count), psum=np.asarray(psum))
+        if full_cov:
+            m["pcross"] = np.asarray(pcross)
+            m["cref"] = np.asarray(cref)
+        else:
+            m["psumsq"] = np.asarray(psumsq)
+        return m
 
     shard = NamedSharding(mesh, P("exp", "chain"))
     rb_s = jax.device_put(rb, NamedSharding(mesh, P("exp")))
-    final_segments = []  # (phase, seg) of persisted sampling history
+    mem_segments = []  # in-memory sampling history (no checkpoint_path)
 
     with mesh:
         for phase in range(phase0, len(phases)):
             phase_len, retune_after = phases[phase]
+            ck = checkpoint_steps if checkpoint_steps > 0 else phase_len
             done = done0 if phase == phase0 else 0
-            seg_idx = done // checkpoint_steps
+            seg_idx = done // ck
             while done < phase_len:
-                seg_len = min(checkpoint_steps, phase_len - done)
+                seg_len = min(ck, phase_len - done)
                 keys = _segment_keys(key, nexp, nchains, phase, seg_idx)
                 params = jax.device_put(params, shard)
                 nll_pair = (jax.device_put(nll_hi, shard),
                             jax.device_put(nll_lo, shard))
                 width = jax.device_put(width, shard)
-                params, nll_pair, samples, nlls, _ = _batched_segment(
-                    mcmc, params, nll_pair, width,
-                    jax.device_put(keys, shard), rb_s, device_data,
-                    seg_len, fc.debug_mode, rate_substeps)
+                keys = jax.device_put(keys, shard)
+                if use_fused:
+                    params, nll_pair, samples, nlls, _ = \
+                        _batched_segment_fused(
+                            mcmc, params, nll_pair, width, keys, rb_s,
+                            device_data, seg_len, fc.debug_mode, mesh)
+                else:
+                    params, nll_pair, samples, nlls, _ = \
+                        _batched_segment(
+                            mcmc, params, nll_pair, width, keys, rb_s,
+                            device_data, seg_len, fc.debug_mode,
+                            rate_substeps,
+                            "full_cov" if full_cov else "diagonal")
                 nll_hi, nll_lo = nll_pair
                 if retune_after:
                     count = count + jnp.float32(seg_len)
-                    psum = psum + samples.sum(axis=2)
-                    psumsq = psumsq + (samples * samples).sum(axis=2)
-                else:
+                    if full_cov:
+                        xc = samples - cref[:, :, None, :]
+                        psum = psum + xc.sum(axis=2)
+                        pcross = pcross + jnp.einsum(
+                            "ecsi,ecsj->ecij", xc, xc)
+                    else:
+                        psum = psum + samples.sum(axis=2)
+                        psumsq = psumsq + (samples * samples).sum(axis=2)
+                elif checkpoint_path:
                     np.savez(_seg_file(checkpoint_path, phase, seg_idx),
                              samples=np.asarray(samples),
                              nll_hi=np.asarray(nlls[0]),
                              nll_lo=np.asarray(nlls[1]))
+                else:
+                    mem_segments.append((np.asarray(samples),
+                                         np.asarray(nlls[0]),
+                                         np.asarray(nlls[1])))
                 done += seg_len
                 seg_idx += 1
-                _save_state(
-                    checkpoint_path, params=np.asarray(params),
-                    nll_hi=np.asarray(nll_hi),
-                    nll_lo=np.asarray(nll_lo),
-                    width=np.asarray(width), phase=phase, done=done,
-                    count=np.asarray(count), psum=np.asarray(psum),
-                    psumsq=np.asarray(psumsq))
+                if checkpoint_path:
+                    _save_state(
+                        checkpoint_path, params=np.asarray(params),
+                        nll_hi=np.asarray(nll_hi),
+                        nll_lo=np.asarray(nll_lo),
+                        width=np.asarray(width), phase=phase,
+                        done=done, **_moment_arrays())
             if retune_after:
-                width = _sharded_retune(mcmc, width, count, psum,
-                                        psumsq)
+                if full_cov:
+                    width = _sharded_retune_cov(mcmc, width, count,
+                                                psum, pcross)
+                    pcross = jnp.zeros_like(pcross)
+                    cref = params
+                else:
+                    width = _sharded_retune(mcmc, width, count, psum,
+                                            psumsq)
+                    psumsq = jnp.zeros_like(psumsq)
                 count = jnp.zeros((), jnp.float32)
                 psum = jnp.zeros_like(psum)
-                psumsq = jnp.zeros_like(psumsq)
-                _save_state(
-                    checkpoint_path, params=np.asarray(params),
-                    nll_hi=np.asarray(nll_hi),
-                    nll_lo=np.asarray(nll_lo),
-                    width=np.asarray(width), phase=phase + 1, done=0,
-                    count=np.asarray(count), psum=np.asarray(psum),
-                    psumsq=np.asarray(psumsq))
+                if checkpoint_path:
+                    _save_state(
+                        checkpoint_path, params=np.asarray(params),
+                        nll_hi=np.asarray(nll_hi),
+                        nll_lo=np.asarray(nll_lo),
+                        width=np.asarray(width), phase=phase + 1,
+                        done=0, **_moment_arrays())
             done0 = 0
 
-    # Assemble the sampling-phase history from the persisted segments.
+    # Assemble the sampling-phase history from the persisted segments
+    # (or the in-memory ones when no checkpoint path was given).
     sampling_phase = len(phases) - 1
     seg_samples, seg_hi, seg_lo = [], [], []
-    seg = 0
-    while os.path.exists(_seg_file(checkpoint_path, sampling_phase,
-                                   seg)):
-        d = np.load(_seg_file(checkpoint_path, sampling_phase, seg))
-        seg_samples.append(d["samples"])
-        seg_hi.append(d["nll_hi"])
-        seg_lo.append(d["nll_lo"])
-        seg += 1
+    if checkpoint_path:
+        seg = 0
+        while os.path.exists(_seg_file(checkpoint_path, sampling_phase,
+                                       seg)):
+            d = np.load(_seg_file(checkpoint_path, sampling_phase, seg))
+            seg_samples.append(d["samples"])
+            seg_hi.append(d["nll_hi"])
+            seg_lo.append(d["nll_lo"])
+            seg += 1
+    else:
+        for s, h, l in mem_segments:
+            seg_samples.append(s)
+            seg_hi.append(h)
+            seg_lo.append(l)
     samples = np.concatenate(seg_samples, axis=2)
     nll_vals = metropolis.nll_history_to_f64(
         (np.concatenate(seg_hi, axis=2), np.concatenate(seg_lo, axis=2)))
 
-    lspaces, limits = [], []
-    for i in range(nexp):
-        ls = LikelihoodSpace.from_arrays(
-            samples[i].reshape(-1, npar), nll_vals[i].reshape(-1),
-            mcmc.parameter_names, cl=fc.confidence,
-            error_type=fc.error_type)
-        lspaces.append(ls)
-        if fc.signal_name and fc.signal_name in mcmc.parameter_names:
-            bf = ls.get_best_fit()
-            limits.append(bf[fc.signal_name].upper)
-            if verbose:
-                print(f"experiment {i}: {fc.signal_name}: "
-                      f"{bf[fc.signal_name]}")
-    return lspaces, limits
+    return _collect_results(fc, mcmc, samples, nll_vals, verbose)

@@ -358,11 +358,14 @@ class PdfStack:
     @property
     def supports_fused(self) -> bool:
         """True when the single-launch fused NLL path applies: pallas
-        per-segment stacks without MC weights (norm exactness requires
-        integer counts) or KDE rows, with >= 1 dynamic segment."""
+        per-segment stacks without KDE rows, with >= 1 dynamic
+        segment.  Weighted MC samples ride the fused path too (since
+        r5): their norms accumulate as compensated TwoSum pairs per MC
+        chunk in-kernel, so the fused NLL agrees with the split path
+        to ~1 ulp of the norm rather than bit-exactly (the unweighted
+        integer-count path stays bit-exact)."""
         return (self.use_pallas and self._per_segment
-                and not self.has_kde and not self.has_weights
-                and self._ndyn >= 1)
+                and not self.has_kde and self._ndyn >= 1)
 
     def _fused_setup(self) -> None:
         """Host-side constants for the fused kernel (lazy, once)."""
@@ -399,6 +402,17 @@ class PdfStack:
             else np.ones((1, self.nsignals), np.int32))
         self._fused_b1b2 = (b1, b2)
         self._fused_hist_init = hist_init
+        # Weighted stacks: initial per-signal norms for the kernel's
+        # compensated accumulator (static rows keep their host-f64
+        # weighted sums; dynamic rows start at 0 and accumulate).
+        if self.has_weights:
+            norm_init = np.zeros(self.nsignals, np.float32)
+            if self._static_idx:
+                norm_init[np.asarray(self._static_idx)] = \
+                    self._static_norms_np
+            self._fused_norm_init = norm_init[None, :]
+        else:
+            self._fused_norm_init = None
 
     def fused_nll_pair(self, params: jnp.ndarray, read_bins, device_data,
                        st) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -419,15 +433,16 @@ class PdfStack:
 
         if not self.supports_fused:
             raise NotImplementedError(
-                "fused NLL requires a pallas per-segment stack without "
-                "MC weights or KDE rows")
+                "fused NLL requires a pallas per-segment stack "
+                "without KDE rows")
         self._fused_setup()
         params = jnp.asarray(params, jnp.float32)
 
         b1, b2 = self._fused_b1b2
         nev = read_bins.shape[-1]
         ev_chunk = pallas_step.pick_event_chunk(
-            nev, self.nsignals, b1, b2)
+            nev, self.nsignals, b1, b2,
+            nch=params.shape[0] if params.ndim == 2 else 1)
         npad = -(-nev // ev_chunk) * ev_chunk
         rb = jnp.pad(jnp.asarray(read_bins, jnp.int32),
                      ((0, 0), (0, npad - nev)), constant_values=-2)
@@ -437,6 +452,7 @@ class PdfStack:
             device_data[0], self._fused_chunk_seg,
             self._fused_mask_matrix,
             jnp.asarray(self._fused_hist_init), rb, params,
+            norm_init=self._fused_norm_init,
             nfields=self.nfields, nobs=self.nobservables,
             systematics=self._fused_systs,
             lower=self.lower_host, upper=self.upper_host,
@@ -464,6 +480,15 @@ class PdfStack:
 
         Returns ``(samples, nlls, accepts)`` with the scan history
         layout of ``metropolis.run_segment``.
+
+        Experiment-grouped form (the sharded-ensemble shard body):
+        pass ``read_bins`` as ``(nexp, nsignals, nevents)`` with
+        ``params0 (nexp, chains_per_exp, npar)`` (``nll0_pair``,
+        ``width``, ``noise``, ``log_u`` carrying the same two leading
+        batch axes after ``nsteps``); histories come back as
+        ``(nsteps, nexp, chains_per_exp, ...)``.  Per-chain
+        trajectories are bit-identical to the shared-dataset form run
+        with that experiment's rb (same ev_chunk).
         """
         from sxmc_tpu.ops import pallas_step
         from sxmc_tpu.ops.pallas_hist import LANES
@@ -471,20 +496,64 @@ class PdfStack:
         if not self.supports_fused:
             raise NotImplementedError(
                 "fused segment requires a pallas per-segment stack "
-                "without MC weights or KDE rows")
+                "without KDE rows")
         self._fused_setup()
 
         b1, b2 = self._fused_b1b2
         nev = read_bins.shape[-1]
+        grouped = read_bins.ndim == 3
+        if grouped:
+            nexp, cpe, npar = params0.shape
+            assert read_bins.shape[0] == nexp
+            nch = nexp * cpe
+            nsteps = noise.shape[0]
+        else:
+            nexp, cpe = 1, None
+            nch = params0.shape[0] if params0.ndim == 2 else 1
         ev_chunk = pallas_step.pick_event_chunk(
-            nev, self.nsignals, b1, b2)
+            nev, self.nsignals, b1, b2, nch=nch, nexp=nexp)
         npad = -(-nev // ev_chunk) * ev_chunk
-        rb = jnp.pad(jnp.asarray(read_bins, jnp.int32),
-                     ((0, 0), (0, npad - nev)), constant_values=-2)
-        rb = rb.reshape(self.nsignals, npad // LANES, LANES)
+        pad_width = [(0, 0)] * (read_bins.ndim - 1) \
+            + [(0, npad - nev)]
+        rb = jnp.pad(jnp.asarray(read_bins, jnp.int32), pad_width,
+                     constant_values=-2)
+        rb = rb.reshape(tuple(read_bins.shape[:-1])
+                        + (npad // LANES, LANES))
         nll0 = jnp.stack([jnp.asarray(nll0_pair[0], jnp.float32),
                           jnp.asarray(nll0_pair[1], jnp.float32)],
                          axis=-1)
+        if grouped:
+            w = jnp.asarray(width, jnp.float32)
+            w_in = (w.reshape(nch, npar, npar) if w.ndim == 4
+                    else w.reshape(nch, npar))
+            samples, nlls, accs = pallas_step.pallas_fused_segment(
+                device_data[0], self._fused_chunk_seg,
+                self._fused_mask_matrix,
+                jnp.asarray(self._fused_hist_init), rb,
+                jnp.asarray(params0, jnp.float32).reshape(nch, npar),
+                nll0.reshape(nch, 2),
+                w_in,
+                jnp.asarray(noise, jnp.float32).reshape(
+                    nsteps, nch, npar),
+                jnp.asarray(log_u, jnp.float32).reshape(nsteps, nch),
+                norm_init=self._fused_norm_init,
+                nfields=self.nfields, nobs=self.nobservables,
+                systematics=self._fused_systs,
+                lower=self.lower_host, upper=self.upper_host,
+                nbins=self.nbins, nsignals=self.nsignals,
+                mc_chunk=self._seg_chunk, ev_chunk=ev_chunk,
+                n_mc=tuple(float(x) for x in np.asarray(self.n_mc)),
+                bin_volume=self.bin_volume,
+                nexpected=tuple(float(x) for x in st.nexpected),
+                source_id=tuple(int(x) for x in st.source_id),
+                means=tuple(float(x) for x in st.means),
+                sigmas=tuple(float(x) for x in st.sigmas),
+                nsources=int(st.nsources),
+                nsteps=nsteps, debug_mode=bool(debug_mode),
+                interpret=self._interpret)
+            return (samples.reshape(nsteps, nexp, cpe, npar),
+                    nlls.reshape(nsteps, nexp, cpe, 2),
+                    accs.reshape(nsteps, nexp, cpe))
 
         return pallas_step.pallas_fused_segment(
             device_data[0], self._fused_chunk_seg,
@@ -494,6 +563,7 @@ class PdfStack:
             jnp.asarray(width, jnp.float32),
             jnp.asarray(noise, jnp.float32),
             jnp.asarray(log_u, jnp.float32),
+            norm_init=self._fused_norm_init,
             nfields=self.nfields, nobs=self.nobservables,
             systematics=self._fused_systs,
             lower=self.lower_host, upper=self.upper_host,

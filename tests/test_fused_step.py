@@ -242,8 +242,9 @@ class TestFusedStep:
         assert np.isfinite(hist).all()
         assert samples.shape[0] == 3
 
-    def test_unsupported_falls_back(self):
-        """Weighted-MC stacks must refuse the fused path."""
+    def test_kde_falls_back(self):
+        """KDE stacks must refuse the fused path (their density lives
+        off the bin grid)."""
         rng = np.random.default_rng(5)
         obs = Observable(name="x", field="x", bins=10, lower=0.0,
                          upper=1.0, field_index=0)
@@ -255,11 +256,135 @@ class TestFusedStep:
         src = Source(name="s", index=0)
         s = Signal.from_table(
             "s", "s", mc, ["x"], 0, src, 10.0, fields, [obs], [],
-            [syst])
-        s.histogram.weights = rng.uniform(
-            0.5, 2, 1000).astype(np.float32)
+            [syst], kde=True)
         with force_pallas_interpret():
             stack = PdfStack([s], [obs], [syst])
         assert not stack.supports_fused
         with pytest.raises(NotImplementedError):
             stack.fused_nll_pair(jnp.ones(2), None, None, None)
+
+
+def _weighted_fixture(dyn_weighted, static_weighted, nbins=100,
+                      n_mc=30_000, nevents=2000, seed=13):
+    """2-signal mix: sig is dynamic (shift systematic), bkg static."""
+    rng = np.random.default_rng(seed)
+    obs = Observable(name="energy", field="energy", bins=nbins,
+                     lower=5.0, upper=15.0, field_index=0)
+    syst = Systematic(name="shift", type=0, observable_field="energy",
+                      means=[0.0], sigmas=[0.05],
+                      observable_field_index=0, pidx=[0])
+    fields = ["energy", "DATASET"]
+    sig_mc = rng.normal(10, 1, (n_mc, 1)).astype(np.float32)
+    bkg_mc = rng.uniform(5, 15, (n_mc, 1)).astype(np.float32)
+    src_s = Source(name="sig", index=0, mean=1.0)
+    src_b = Source(name="bkg", index=1, mean=1.0, sigma=0.1)
+    sig = Signal.from_table("sig", "sig", sig_mc, ["energy"], 0,
+                            src_s, 1000.0, fields, [obs], [], [syst])
+    bkg = Signal.from_table("bkg", "bkg", bkg_mc, ["energy"], 0,
+                            src_b, 2000.0, fields, [obs], [], [])
+    if dyn_weighted:
+        sig.histogram.weights = rng.uniform(
+            0.5, 2.0, n_mc).astype(np.float32)
+    if static_weighted:
+        bkg.histogram.weights = rng.uniform(
+            0.2, 3.0, n_mc).astype(np.float32)
+    data = np.stack([rng.uniform(4.5, 15.5, nevents).astype(np.float32),
+                     np.zeros(nevents, np.float32)], axis=1)
+    return obs, syst, [src_s, src_b], [sig, bkg], data
+
+
+class TestWeightedFused:
+    """Weighted MC through the fused kernels (r5): histogram values
+    stay bit-identical to the split path; norms come from the
+    in-kernel compensated accumulator, so the NLL agrees to norm-ulp
+    scale rather than bit-exactly."""
+
+    @pytest.mark.parametrize("dyn_w,stat_w",
+                             [(True, False), (False, True),
+                              (True, True)])
+    def test_matches_split_path(self, dyn_w, stat_w):
+        obs, syst, sources, signals, data = _weighted_fixture(
+            dyn_w, stat_w)
+        stack = _build(obs, syst, signals)
+        assert stack.has_weights and stack.supports_fused
+        stack.set_data(data)
+        st = _static(sources, signals, stack)
+        rb = stack._read_bins
+        dd = stack.device_data
+        params = jnp.asarray([1.02, 0.95, 0.013], jnp.float32)
+        theta = params[2:]
+
+        from sxmc_tpu.ops import pallas_step
+        from sxmc_tpu.ops.pallas_hist import LANES, _balanced_split
+
+        stack._fused_setup()
+        b1, b2 = stack._fused_b1b2
+        nev = rb.shape[-1]
+        ev_chunk = pallas_step.pick_event_chunk(nev, 2, b1, b2)
+        npad = -(-nev // ev_chunk) * ev_chunk
+        rbp = jnp.pad(rb, ((0, 0), (0, npad - nev)),
+                      constant_values=-2).reshape(2, npad // LANES,
+                                                  LANES)
+        hist, _, nll_f = pallas_step.pallas_fused_step(
+            dd[0], stack._fused_chunk_seg, stack._fused_mask_matrix,
+            jnp.asarray(stack._fused_hist_init), rbp, params,
+            norm_init=stack._fused_norm_init,
+            nfields=stack.nfields, nobs=1,
+            systematics=stack._fused_systs,
+            lower=stack.lower_host, upper=stack.upper_host,
+            nbins=stack.nbins, nsignals=2,
+            mc_chunk=stack._seg_chunk, ev_chunk=ev_chunk,
+            n_mc=tuple(float(x) for x in np.asarray(stack.n_mc)),
+            bin_volume=stack.bin_volume,
+            nexpected=tuple(float(x) for x in st.nexpected),
+            source_id=tuple(int(x) for x in st.source_id),
+            means=tuple(float(x) for x in st.means),
+            sigmas=tuple(float(x) for x in st.sigmas),
+            nsources=2, interpret=True)
+
+        # Histogram bin values: bit-identical to the split path.
+        want_h, want_norms = stack.histograms(theta, dd)
+        total = stack.total_nbins
+        got_h = np.asarray(hist).reshape(2, -1)[:, :total]
+        np.testing.assert_array_equal(got_h, np.asarray(want_h))
+
+        # NLL: the compensated chunk-pair norm differs from
+        # hists.sum() only in f32 association -> norm-ulp agreement.
+        lut, norms = stack.evaluate(theta, rb, dd)
+        hi, lo = nll_pair(params, lut, norms, st)
+        want = float(hi) + float(lo)
+        got = float(nll_f[0]) + float(nll_f[1])
+        assert abs(got - want) < 0.02, (got, want)
+
+        # And through the PdfStack entry point.
+        hi2, lo2 = stack.fused_nll_pair(params, rb, dd, st)
+        assert float(hi2) + float(lo2) == got
+
+    def test_weighted_segment_trajectory(self):
+        """Weighted whole-segment kernel: trajectory equals a
+        step-by-step drive of the weighted one-shot kernel (both use
+        the compensated norms -> bit-comparable)."""
+        from sxmc_tpu.mcmc import metropolis
+        from sxmc_tpu.mcmc.metropolis import MCMC
+
+        obs, syst, sources, signals, data = _weighted_fixture(
+            True, True, n_mc=20_000, nevents=800)
+        with force_pallas_interpret():
+            mcmc = MCMC(sources, signals, [syst], [obs])
+        assert mcmc.stack.supports_fused
+        mcmc.stack.set_data(data)
+        rb, dd = mcmc.stack._read_bins, mcmc.stack.device_data
+        p0, nll0, w0 = metropolis.initial_state(mcmc, rb, dd,
+                                                allow_fused=True)
+        key = jax.random.PRNGKey(7)
+        nsteps = 16
+        pf, nf, samples, nlls, acc = metropolis.run_segment(
+            mcmc, p0, nll0, w0, rb, dd, key, nsteps)
+
+        from test_fused_segment import _reference_walk
+        ref_s, ref_a, ref_n = _reference_walk(mcmc, p0, nll0, w0, key,
+                                              nsteps)
+        np.testing.assert_allclose(np.asarray(samples), ref_s,
+                                   rtol=3e-7, atol=3e-7)
+        got_n = np.asarray(nlls[0]) + np.asarray(nlls[1])
+        np.testing.assert_allclose(got_n, ref_n, rtol=1e-6)
