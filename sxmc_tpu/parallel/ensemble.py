@@ -257,7 +257,7 @@ def run_sharded_ensemble(
             "checkpoint_steps > 0 requires checkpoint_path")
 
     setup = _ensemble_setup(fc, nsteps)
-    mcmc, rb, key, nchains, burnin_steps, device_data = setup
+    mcmc, rb, key, nchains, burnin_steps, device_data, extras = setup
     # Debug (accept-all) fits keep the legacy runners, whose history
     # includes the burn-in phases; the segmented runner keeps only the
     # sampling phase.
@@ -275,23 +275,44 @@ def run_sharded_ensemble(
     # Proposal geometry follows the fit config: diagonal widths, or
     # Haario full-covariance chains (fit.proposal = "full_cov").
     if getattr(fc, "proposal", "diagonal") == "full_cov":
-        chain_fn = lambda k, rb_: metropolis._run_single_chain_fullcov(  # noqa: E731,E501
-            mcmc, k, rb_, device_data, nsteps=nsteps,
+        chain_fn = lambda k, rb_, dd: metropolis._run_single_chain_fullcov(  # noqa: E731,E501
+            mcmc, k, rb_, dd, nsteps=nsteps,
             burnin_steps=burnin_steps, debug_mode=fc.debug_mode)
     else:
-        chain_fn = lambda k, rb_: metropolis._run_single_chain(  # noqa: E731,E501
-            mcmc, k, rb_, device_data, nsteps=nsteps,
+        chain_fn = lambda k, rb_, dd: metropolis._run_single_chain(  # noqa: E731,E501
+            mcmc, k, rb_, dd, nsteps=nsteps,
             burnin_steps=burnin_steps, debug_mode=fc.debug_mode,
             rate_substeps=getattr(fc, 'rate_substeps', 0))
-
-    def run_one_experiment(exp_keys, exp_rb):
-        return jax.vmap(lambda k: chain_fn(k, exp_rb))(exp_keys)
-
-    batched = jax.vmap(run_one_experiment)
 
     shard = NamedSharding(mesh, P("exp", "chain"))
     keys = jax.device_put(keys, shard)
     rb = jax.device_put(rb, NamedSharding(mesh, P("exp")))
+
+    if extras is not None:
+        # Exact-LUT KDE: each experiment pairs with ITS OWN event
+        # coordinates and precomputed static KDE rows, appended to the
+        # shared device data inside the experiment vmap (the shapes
+        # then match a set_data() snapshot, so _exact_kde_override
+        # applies unchanged).
+        def run_one_experiment(exp_keys, exp_rb, exp_extras):
+            dd = tuple(device_data) + tuple(exp_extras)
+            return jax.vmap(lambda k: chain_fn(k, exp_rb, dd))(exp_keys)
+
+        extras = tuple(
+            jax.device_put(e, NamedSharding(mesh, P("exp")))
+            for e in extras)
+        with mesh:
+            samples, nlls, accept = jax.jit(jax.vmap(
+                run_one_experiment))(keys, rb, extras)
+        samples = np.asarray(samples)
+        nlls = metropolis.nll_history_to_f64(nlls)
+        return _collect_results(fc, mcmc, samples, nlls, verbose)
+
+    def run_one_experiment(exp_keys, exp_rb):
+        return jax.vmap(
+            lambda k: chain_fn(k, exp_rb, device_data))(exp_keys)
+
+    batched = jax.vmap(run_one_experiment)
 
     with mesh:
         samples, nlls, accept = jax.jit(batched)(keys, rb)
@@ -325,14 +346,15 @@ def _ensemble_setup(fc: FitConfig, nsteps: int):
     """Shared deterministic setup: model, padded read bins, base key.
 
     Everything here is a pure function of the FitConfig, so a resumed
-    run reconstructs identical datasets and read bins."""
+    run reconstructs identical datasets and read bins.
+
+    Exact-LUT KDE stacks additionally get PER-EXPERIMENT device-data
+    extras (event coordinates + precomputed static rows/norms, the
+    batched analog of set_data()'s tail arrays): padding rows carry an
+    unknown dataset tag, so eval_at's mismatch sentinel zeroes them
+    exactly like the -2 read-bin sentinel zeroes binned rows.
+    """
     mcmc = MCMC(fc.sources, fc.signals, fc.systematics, fc.observables)
-    if getattr(mcmc.stack, "_kde_exact", ()):
-        raise NotImplementedError(
-            "Exact-LUT KDE signals evaluate against ONE set_data() "
-            "dataset; the batched multi-experiment path would pair "
-            "every experiment with the wrong event coordinates. Use "
-            "the serial ensemble driver, or kde_exact=false (grid).")
 
     key = jax.random.PRNGKey(fc.seed)
     datasets = [
@@ -343,10 +365,31 @@ def _ensemble_setup(fc: FitConfig, nsteps: int):
     ]
     data_batch = pad_datasets(datasets)
     rb = mcmc.stack.compute_read_bins(data_batch)  # (nexp, nsig, nev)
+
+    extras = None
+    if getattr(mcmc.stack, "_kde_exact", ()):
+        points_b = jnp.asarray(data_batch)
+        nev = data_batch.shape[1]
+
+        def one_exp(pts):
+            rows, nrms = [], []
+            for _, kde in mcmc.stack._kde_exact:
+                if not kde.systematics:
+                    r, nm = kde.eval_at(pts)
+                    rows.append(r)
+                    nrms.append(nm)
+            return (jnp.stack(rows) if rows
+                    else jnp.zeros((0, nev), jnp.float32),
+                    jnp.stack(nrms) if nrms
+                    else jnp.zeros((0,), jnp.float32))
+
+        static_rows_b, static_norms_b = jax.vmap(one_exp)(points_b)
+        extras = (points_b, static_rows_b, static_norms_b)
+
     nchains = max(fc.nchains, 1)
     burnin_steps = int(nsteps * fc.burnin_fraction)
     return (mcmc, rb, key, nchains, burnin_steps,
-            mcmc.stack.device_data)
+            mcmc.stack.device_data, extras)
 
 
 def _ckpt_file(path: str) -> str:
@@ -380,7 +423,13 @@ def _run_sharded_ensemble_segmented(
     whole phases held in memory.  Proposals: diagonal widths or
     full_cov scale_trils (both checkpoint/resume exactly)."""
     full_cov = getattr(fc, "proposal", "diagonal") == "full_cov"
-    mcmc, rb, key, nchains, burnin_steps, device_data = setup
+    mcmc, rb, key, nchains, burnin_steps, device_data, extras = setup
+    if extras is not None:
+        raise NotImplementedError(
+            "segment checkpointing does not support kde_exact signals "
+            "(per-experiment event-coordinate extras are not threaded "
+            "through the segment steppers); run without "
+            "checkpoint_steps, or use kde_exact=false (grid)")
     nexp = fc.nexperiments
     npar = mcmc.nparameters
     rate_substeps = getattr(fc, "rate_substeps", 0)

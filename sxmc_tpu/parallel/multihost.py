@@ -55,8 +55,10 @@ def run_multihost_ensemble(
     mcmc = MCMC(fc.sources, fc.signals, fc.systematics, fc.observables)
     if getattr(mcmc.stack, "_kde_exact", ()):
         raise NotImplementedError(
-            "Exact-LUT KDE signals are single-experiment only (see "
-            "parallel/ensemble.py); use kde_exact=false here.")
+            "the multihost driver does not thread per-experiment "
+            "event-coordinate extras (the single-host sharded "
+            "ensemble does, parallel/ensemble.py); use "
+            "kde_exact=false here.")
     key = jax.random.PRNGKey(fc.seed)
 
     lspaces: List[Optional[LikelihoodSpace]] = [None] * nexp

@@ -275,7 +275,56 @@ class TestKDEExact:
         # it, so the gradient there is nonzero.
         assert abs(g[-1]) > 0, g
 
-    def test_parallel_ensemble_rejects_exact_kde(self):
+    def test_parallel_ensemble_exact_kde(self):
+        """kde_exact through the batched sharded ensemble (r5): each
+        experiment pairs with its OWN event coordinates (padding rows
+        carry the unknown-dataset tag, zeroed by eval_at's mismatch
+        sentinel), and each per-experiment result matches a serial
+        single-experiment fit on that experiment's dataset."""
+        import jax
+        import jax.numpy as jnp
+
+        from sxmc_tpu.fitconfig import FitConfig
+        from sxmc_tpu.generator import make_fake_dataset
+        from sxmc_tpu.mcmc import metropolis
+        from sxmc_tpu.parallel import ensemble as par_ensemble
+
+        obs, systs, sources, signals = self._fixture()
+        fc = FitConfig(
+            nexperiments=2, nsteps=200, burnin_fraction=0.2,
+            signal_name="sig", seed=7, signals=signals,
+            sources=sources, systematics=systs, observables=[obs])
+        lspaces, limits = par_ensemble.run_sharded_ensemble(
+            fc, nsteps=200, verbose=False)
+        assert len(limits) == 2
+        assert np.isfinite(limits).all()
+        # The two experiments saw different datasets.
+        assert limits[0] != limits[1]
+
+        # Cross-check experiment 0 against a serial fit with the
+        # identical dataset, key derivation, and padded read bins.
+        mcmc = metropolis.MCMC(fc.sources, fc.signals, fc.systematics,
+                               fc.observables)
+        key = jax.random.PRNGKey(fc.seed)
+        datasets = [
+            make_fake_dataset(jax.random.fold_in(key, i), fc.signals,
+                              fc.systematics, fc.observables,
+                              poisson=True, stack=mcmc.stack)
+            for i in range(2)]
+        batch = par_ensemble.pad_datasets(datasets)
+        mcmc.stack.set_data(batch[0])
+        chain_key = jax.random.split(
+            jax.random.fold_in(key, 1000), 1)[0]
+        s, nl, _ = metropolis._run_single_chain(
+            mcmc, chain_key, mcmc.stack._read_bins,
+            mcmc.stack.device_data, nsteps=200,
+            burnin_steps=40, debug_mode=False)
+        want = np.asarray(s)
+        got = lspaces[0].samples
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_parallel_ensemble_exact_kde_checkpoint_refused(self,
+                                                            tmp_path):
         from sxmc_tpu.fitconfig import FitConfig
         from sxmc_tpu.parallel import ensemble as par_ensemble
 
@@ -283,5 +332,7 @@ class TestKDEExact:
         fc = FitConfig(
             nexperiments=2, nsteps=100, signals=signals,
             sources=sources, systematics=systs, observables=[obs])
-        with pytest.raises(NotImplementedError):
-            par_ensemble.run_sharded_ensemble(fc, nsteps=100)
+        with pytest.raises(NotImplementedError, match="kde_exact"):
+            par_ensemble.run_sharded_ensemble(
+                fc, nsteps=100, checkpoint_steps=20,
+                checkpoint_path=str(tmp_path / "ck"))
