@@ -344,6 +344,92 @@ def bench_mcmc():
     ]
 
 
+def bench_sharded_ensemble(n_mc: int = 1_000_000, nevents: int = 3000,
+                           nexp: int = 4, nchain: int = 2,
+                           _interpret: bool = False):
+    """Per-chip throughput of the FUSED sharded-ensemble path.
+
+    Measures parallel.ensemble._batched_segment_fused — the
+    experiment-grouped whole-segment kernel under shard_map — on a
+    1-device {exp, chain} mesh with nexp x nchain chains, the exact
+    per-shard workload of run_sharded_ensemble on a pod.  Gated
+    against chain_steps_per_sec_8chains parity: the sharded route must
+    not reintroduce the per-step dispatch overhead the whole-segment
+    kernel exists to kill (VERDICT r4 item 1).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from sxmc_tpu.mcmc import metropolis
+    from sxmc_tpu.parallel import ensemble as par_ensemble
+    from sxmc_tpu.signal import Observable, Signal, Source, Systematic
+    from sxmc_tpu.mcmc.metropolis import MCMC
+
+    rng = np.random.default_rng(5)
+    obs = Observable(name="energy", field="energy", bins=100, lower=5.0,
+                     upper=15.0, field_index=0)
+    syst = Systematic(name="shift", type=0, observable_field="energy",
+                      means=[0.0], sigmas=[0.05],
+                      observable_field_index=0, pidx=[0])
+    sample_fields = ["energy", "DATASET"]
+    sig_mc = rng.normal(10, 1, (n_mc, 1)).astype(np.float32)
+    bkg_mc = rng.uniform(5, 15, (n_mc, 1)).astype(np.float32)
+    src_s = Source(name="sig", index=0, mean=1.0)
+    src_b = Source(name="bkg", index=1, mean=1.0, sigma=0.1)
+    sig = Signal.from_table("sig", "s", sig_mc, ["energy"], 0, src_s,
+                            1000.0, sample_fields, [obs], [], [syst])
+    bkg = Signal.from_table("bkg", "b", bkg_mc, ["energy"], 0, src_b,
+                            2000.0, sample_fields, [obs], [], [])
+    if _interpret:
+        from sxmc_tpu.pdf.stack import force_pallas_interpret
+
+        with force_pallas_interpret():
+            mcmc = MCMC([src_s, src_b], [sig, bkg], [syst], [obs])
+    else:
+        mcmc = MCMC([src_s, src_b], [sig, bkg], [syst], [obs])
+    assert mcmc.stack.supports_fused
+
+    datasets = [
+        np.stack([rng.uniform(5, 15, nevents - 7 * e).astype(np.float32),
+                  np.zeros(nevents - 7 * e, np.float32)], axis=1)
+        for e in range(nexp)]
+    rb = mcmc.stack.compute_read_bins(
+        par_ensemble.pad_datasets(datasets))
+    dd = mcmc.stack.device_data
+    npar = mcmc.nparameters
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                axis_names=("exp", "chain"))
+
+    p0, nll0, w0 = metropolis.initial_state(mcmc, rb[0], dd,
+                                            allow_fused=True)
+    params = jnp.broadcast_to(p0, (nexp, nchain, npar))
+    hi0 = jnp.broadcast_to(nll0[0], (nexp, nchain))
+    lo0 = jnp.broadcast_to(nll0[1], (nexp, nchain))
+    width = jnp.broadcast_to(w0, (nexp, nchain, npar))
+    keys = par_ensemble._segment_keys(jax.random.PRNGKey(3), nexp,
+                                      nchain, 0, 0)
+
+    def seg_fn(nsteps):
+        def f(params, hi, lo, width, keys, rb, *dd):
+            _, nll_pair, _, _, _ = par_ensemble._batched_segment_fused(
+                mcmc, params, (hi, lo), width, keys, rb, dd, nsteps,
+                False, mesh)
+            return nll_pair[0].sum()
+        return f
+
+    n1, n2 = (500, 2500) if not _interpret else (5, 25)
+    per_seg = _slope(seg_fn(n1), seg_fn(n2), n1, n2,
+                     (params, hi0, lo0, width, keys, rb, *dd))
+    rate = nexp * nchain / per_seg
+    return {"metric": "sharded_ensemble_steps_per_sec",
+            "value": rate, "unit": "chain-steps/s",
+            "detail": f"{nexp} exp x {nchain} chains grouped through "
+                      f"the whole-segment kernel under shard_map on a "
+                      f"1-device mesh, 2 signals x {n_mc} MC rebuilt "
+                      f"per step, {nevents} events/exp"}
+
+
 def bench_binned():
     """Binned vs unbinned per-step cost at the 10^6-data-event scale.
 
@@ -585,7 +671,8 @@ def suite():
     reference's published K40 number.
     """
     ref = _load_recorded_reference()
-    extras = [bench_group()] + bench_mcmc() + bench_binned() \
+    extras = [bench_group()] + bench_mcmc() \
+        + [bench_sharded_ensemble()] + bench_binned() \
         + bench_scale10m() + [bench_mle()]
     regressions = []
     for m in extras:

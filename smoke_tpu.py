@@ -677,6 +677,111 @@ def _fused_stack_fixture(seed, n_mc=100_000, nevents=1500):
     return stack, st, data, rng
 
 
+@case("fused_step_weighted")
+def smoke_fused_step_weighted():
+    """Weighted MC through the fused kernels on hardware (r5): the
+    fused NLL uses the in-kernel compensated norm accumulator,
+    agreeing with the split weighted path's hists.sum() norm to
+    f32-association scale (< 0.02 absolute on this fixture; bin-value
+    equality is pinned in interpret mode by test_fused_step); and the
+    weighted whole-segment kernel's trajectory must match a
+    step-by-step drive of the weighted one-shot kernel (both
+    kernel-normed -> comparable to ulp)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sxmc_tpu.mcmc import metropolis
+    from sxmc_tpu.ops.nll import nll_pair
+
+    stack, st, data, rng = _fused_stack_fixture(31, n_mc=100_000,
+                                                nevents=1500)
+    # Re-fixture with weights on both signals (dynamic + static).
+    from sxmc_tpu.pdf.stack import PdfStack
+    from sxmc_tpu.signal import Observable, Signal, Source, Systematic
+
+    obs = Observable(name="energy", field="energy", bins=100, lower=5.0,
+                     upper=15.0, field_index=0)
+    syst = Systematic(name="shift", type=0, observable_field="energy",
+                      means=[0.0], sigmas=[0.05],
+                      observable_field_index=0, pidx=[0])
+    fields = ["energy", "DATASET"]
+    n_mc = 100_000
+    sig_mc = rng.normal(10, 1, (n_mc, 1)).astype(np.float32)
+    bkg_mc = rng.uniform(5, 15, (n_mc, 1)).astype(np.float32)
+    src_s = Source(name="sig", index=0, mean=1.0)
+    src_b = Source(name="bkg", index=1, mean=1.0, sigma=0.1)
+    sig = Signal.from_table("sig", "s", sig_mc, ["energy"], 0, src_s,
+                            1000.0, fields, [obs], [], [syst])
+    bkg = Signal.from_table("bkg", "b", bkg_mc, ["energy"], 0, src_b,
+                            2000.0, fields, [obs], [], [])
+    sig.histogram.weights = rng.uniform(0.5, 2.0, n_mc).astype(
+        np.float32)
+    bkg.histogram.weights = rng.uniform(0.2, 3.0, n_mc).astype(
+        np.float32)
+    wstack = PdfStack([sig, bkg], [obs], [syst])
+    if not wstack.supports_fused:
+        if INTERPRET:
+            print("  (skipped: CPU stack has no pallas path)",
+                  file=sys.stderr)
+            return
+        raise AssertionError("weighted stack should support fused")
+    assert wstack.has_weights
+    wstack.set_data(data)
+    rb = wstack._read_bins
+    dd = wstack.device_data
+    nsteps = 8
+    noise, u = metropolis._presample(
+        jax.random.split(jax.random.PRNGKey(9), nsteps), 3, 0)
+    noise = jnp.asarray(noise[:, 0, :])
+    log_u = jnp.log(jnp.asarray(u[:, 0]))
+    p0 = jnp.asarray([1.0, 1.0, 0.0], jnp.float32)
+    width = jnp.asarray([0.05, 0.05, 0.01], jnp.float32)
+
+    def check(noise, log_u, p0, width, rb, *dd):
+        theta = p0[2:]
+        # Split path: weighted segmented histogram + evaluate + pair.
+        lut, norms = wstack.evaluate(theta, rb, dd)
+        s_hi, s_lo = nll_pair(p0, lut, norms, wstack._smoke_st)
+        f_hi, f_lo = wstack.fused_nll_pair(p0, rb, dd,
+                                           wstack._smoke_st)
+        nll_diff = jnp.abs((f_hi + f_lo) - (s_hi + s_lo))
+
+        # Whole-segment trajectory vs one-shot drive (kernel norms
+        # both sides).
+        nll0 = (f_hi, f_lo)
+        samples, nlls, accs = wstack.fused_segment(
+            p0, nll0, width, rb, dd, noise, log_u, wstack._smoke_st)
+        params = p0
+        cur_hi, cur_lo = nll0
+        ref = []
+        for s in range(nsteps):
+            nz = noise[s] * jnp.maximum(width, 0.0)
+            prop = jnp.where(width > 0, params + nz, params)
+            hi, lo = wstack.fused_nll_pair(prop, rb, dd,
+                                           wstack._smoke_st)
+            delta = (cur_hi - hi) + (cur_lo - lo)
+            a = (delta > 0) | (log_u[s] <= delta)
+            params = jnp.where(a, prop, params)
+            cur_hi = jnp.where(a, hi, cur_hi)
+            cur_lo = jnp.where(a, lo, cur_lo)
+            ref.append(params)
+        walk_diff = jnp.max(jnp.abs(samples - jnp.stack(ref)))
+        return jnp.maximum(
+            jnp.maximum(jnp.float32(0.0), nll_diff - 0.02),
+            walk_diff)
+
+    from sxmc_tpu.ops.nll import NLLStatic
+
+    wstack._smoke_st = NLLStatic(
+        nexpected=np.asarray([1000.0, 2000.0], np.float32),
+        n_mc=np.asarray([n_mc, n_mc], np.float32),
+        source_id=np.asarray([0, 1], np.int32),
+        means=np.asarray([1.0, 1.0, 0.0], np.float32),
+        sigmas=np.asarray([0.0, 0.1, 0.05], np.float32),
+        nsources=2)
+    _run(check, noise, log_u, p0, width, rb, *dd, atol=1e-5)
+
+
 @case("fused_segment_grouped_shardmap")
 def smoke_fused_segment_grouped_shardmap():
     """The experiment-grouped batched whole-segment kernel INSIDE a

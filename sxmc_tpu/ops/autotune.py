@@ -92,6 +92,9 @@ def tuned_chunk(kind: str, total_nbins: int, nsegments: int,
     return default
 
 
+MIN_CREDIBLE_SECONDS = 1e-7  # slope below this is timing noise
+
+
 def record_tuning(kind: str, total_nbins: int, nsegments: int,
                   nsamples: int, results: Dict[int, float],
                   heuristic_chunk: int,
@@ -99,9 +102,20 @@ def record_tuning(kind: str, total_nbins: int, nsegments: int,
     """Persist a sweep verdict with the reference's 10% hysteresis:
     only record (and thereby override the heuristic) if the best
     measured chunk beats the heuristic's own measurement by more than
-    ``hysteresis`` (pdfz.cpp:712-719 semantics)."""
-    best = min(results, key=results.get)
-    base = results.get(heuristic_chunk)
+    ``hysteresis`` (pdfz.cpp:712-719 semantics).
+
+    Degenerate measurements (slope below MIN_CREDIBLE_SECONDS — the
+    two-point difference collapsed to the clamp, e.g. under tunnel
+    contention right after a chip claim) are discarded before picking:
+    a verdict must rest on a credible timing, never on noise.
+    """
+    credible = {c: s for c, s in results.items()
+                if s >= MIN_CREDIBLE_SECONDS}
+    if not credible:
+        return None
+    best = min(credible, key=credible.get)
+    base = credible.get(heuristic_chunk)
+    results = credible
     confirmed = base is not None and \
         results[best] > (1.0 - hysteresis) * base
     cache = load_cache()
@@ -128,7 +142,9 @@ def _timed_value(fn, *args) -> float:
 def tune_histogram_chunk(
     nsamples: int = 1_000_000,
     nbins: Tuple[int, ...] = (1000,),
-    chunks: Sequence[int] = (16384, 32768, 65536, 131072),
+    # 131072 deliberately excluded: its bf16 one-hot pair alone is
+    # ~16.8 MB, over the scoped-VMEM limit (CLAUDE.md rule 5).
+    chunks: Sequence[int] = (16384, 32768, 65536),
     reps: Tuple[int, int] = (20, 100),
     seed: int = 0,
 ) -> Dict[int, float]:

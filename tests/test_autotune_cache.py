@@ -17,6 +17,11 @@ from sxmc_tpu.ops import autotune
 def tmp_cache(tmp_path, monkeypatch):
     p = str(tmp_path / "autotune.json")
     monkeypatch.setenv("SXMC_TPU_AUTOTUNE_CACHE", p)
+    # Isolate from the SHIPPED verdicts (sxmc_tpu/data/autotune_v5e
+    # .json, covered by test_autotune_shipped.py): these tests pin the
+    # cache MECHANICS on a bare environment.
+    monkeypatch.setattr(autotune, "shipped_path",
+                        lambda: str(tmp_path / "no_shipped.json"))
     return p
 
 
