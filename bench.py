@@ -45,11 +45,16 @@ def _timed_value(fn, *args):
     return time.perf_counter() - t0
 
 
-def _slope(fn_lo, fn_hi, n_lo, n_hi, args):
-    """Per-rep seconds from the two-point slope (2 trials each)."""
-    # First calls may hide lazy remote compilation; take the min.
-    t_lo = min(_timed_value(fn_lo, *args) for _ in range(2))
-    t_hi = min(_timed_value(fn_hi, *args) for _ in range(2))
+def _slope(fn_lo, fn_hi, n_lo, n_hi, args, trials: int = 3):
+    """Per-rep seconds from the two-point slope (min of 3 trials).
+
+    First calls may hide lazy remote compilation; the min over trials
+    also damps the ~±10% run-to-run tunnel variance (measured r5: the
+    same group rebuild drew 0.286/0.292/0.310 ms across three
+    processes), which the per-metric regression gates must not trip
+    on."""
+    t_lo = min(_timed_value(fn_lo, *args) for _ in range(trials))
+    t_hi = min(_timed_value(fn_hi, *args) for _ in range(trials))
     return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
 
 

@@ -17,9 +17,11 @@ histogram kernels already rely on):
   step i < n_mc_chunks   (phase A): per-segment histogram accumulate
       into a persistent (nsignals, b1, b2) VMEM block, initialized at
       i == 0 from the precomputed static-signal rows.
-  step i >= n_mc_chunks  (phase B): per event chunk, recompute the
-      in-domain norms from the finished histogram (integer counts: the
-      f32 sum is exact below 2^24 samples/signal), form the per-signal
+  step i >= n_mc_chunks  (phase B): per event chunk, read the
+      in-domain norms (unweighted: the finished histogram's block sum
+      — integer counts, exact in f32 below 2^24 samples/signal;
+      weighted: the compensated phase-A accumulator), form the
+      per-signal
       weights from the SMEM parameter row, gather densities via the
       bilinear one-hot (same split as pallas_eval_lut), mix them in
       EXACTLY nll_pair's op order, and accumulate compensated per-lane
