@@ -677,6 +677,67 @@ def _fused_stack_fixture(seed, n_mc=100_000, nevents=1500):
     return stack, st, data, rng
 
 
+@case("fused_segment_blocked")
+def smoke_fused_segment_blocked():
+    """The blocked Metropolis-within-Gibbs whole-segment kernel on
+    hardware (r5): per cycle one systematic-block rebuild + M
+    rate-block decisions against the carried current histogram (a
+    VMEM copy on systematic accept).  The 8-cycle walk must match a
+    step-by-step blocked drive of the one-shot fused kernel under the
+    log-space accept (same jit, one readback) — rate-move NLLs agree
+    because a rate move leaves the systematics (hence the rebuilt
+    histogram) unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    from sxmc_tpu.mcmc import metropolis
+
+    stack, st, data, rng = _fused_stack_fixture(37, n_mc=100_000,
+                                                nevents=1500)
+    if not stack.supports_fused:
+        if INTERPRET:
+            print("  (skipped: CPU stack has no pallas path)",
+                  file=sys.stderr)
+            return
+        raise AssertionError("stack should support the fused path")
+    stack.set_data(data)
+    rb = stack._read_bins
+    dd = stack.device_data
+    nsteps, m, npar = 8, 3, 3
+    noise, u = metropolis._presample(
+        jax.random.split(jax.random.PRNGKey(13), nsteps), npar, m)
+    noise = jnp.asarray(noise)          # (nsteps, m+1, npar)
+    log_u = jnp.log(jnp.asarray(u))     # (nsteps, m+1)
+    p0 = jnp.asarray([1.0, 1.0, 0.0], jnp.float32)
+    width = jnp.asarray([0.05, 0.05, 0.01], jnp.float32)
+    rate_sel = np.arange(npar) < 2
+
+    def check(noise, log_u, p0, width, rb, *dd):
+        nll0 = stack.fused_nll_pair(p0, rb, dd, st)
+        samples, nlls, accs = stack.fused_segment_blocked(
+            p0, nll0, width, rb, dd, noise, log_u, st, m)
+        params = p0
+        cur_hi, cur_lo = nll0
+        ref = []
+        for s in range(nsteps):
+            for sub in range(m + 1):
+                mask = jnp.asarray(rate_sel if sub > 0
+                                   else ~rate_sel)
+                nz = noise[s, sub] * jnp.maximum(width, 0.0)
+                prop = jnp.where((width > 0) & mask, params + nz,
+                                 params)
+                hi, lo = stack.fused_nll_pair(prop, rb, dd, st)
+                delta = (cur_hi - hi) + (cur_lo - lo)
+                a = (delta > 0) | (log_u[s, sub] <= delta)
+                params = jnp.where(a, prop, params)
+                cur_hi = jnp.where(a, hi, cur_hi)
+                cur_lo = jnp.where(a, lo, cur_lo)
+            ref.append(params)
+        return jnp.max(jnp.abs(samples - jnp.stack(ref)))
+
+    _run(check, noise, log_u, p0, width, rb, *dd, atol=1e-5)
+
+
 @case("fused_step_weighted")
 def smoke_fused_step_weighted():
     """Weighted MC through the fused kernels on hardware (r5): the

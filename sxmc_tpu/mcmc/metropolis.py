@@ -266,7 +266,11 @@ def run_segment(mcmc: MCMC, params, cur_nll, width, read_bins,
     reference lacks entirely (SURVEY.md section 5, checkpoint/resume).
     With ``rate_substeps > 0`` the blocked stepper's (lut, norms) extras
     are reconstructed from ``params`` at segment start, so checkpoint
-    state is identical for both modes.
+    state is identical for both modes.  On fused-eligible unweighted
+    stacks the whole blocked phase runs as ONE kernel launch too
+    (PdfStack.fused_segment_blocked, r5): rate substeps decide against
+    the carried current histogram in VMEM, costing one event sweep
+    each instead of a dispatch.
 
     On the Pallas per-segment path the joint (non-blocked) single-chain
     segment runs as ONE whole-segment kernel launch
@@ -285,6 +289,14 @@ def run_segment(mcmc: MCMC, params, cur_nll, width, read_bins,
         carry, (samples, nll_hist, accepts) = _fused_segment_history(
             mcmc, params, cur_nll, width, read_bins, device_data, key,
             nsteps, debug_mode)
+        return carry[0], carry[1], samples, nll_hist, accepts.mean()
+    if (_blocked_enabled(mcmc, rate_substeps)
+            and _blocked_fused_ok(mcmc, read_bins)
+            and getattr(params, "ndim", 1) == 1):
+        carry, (samples, nll_hist, accepts) = \
+            _fused_segment_history_blocked(
+                mcmc, params, cur_nll, width, read_bins, device_data,
+                key, nsteps, rate_substeps, debug_mode)
         return carry[0], carry[1], samples, nll_hist, accepts.mean()
 
     step, init_extras, m = _make_stepper(mcmc, read_bins, device_data,
@@ -405,6 +417,31 @@ def _chain_nll(mcmc: MCMC, read_bins, device_data,
         return pair(params, lut, norms, st)
 
     return chain_nll
+
+
+def _blocked_fused_ok(mcmc: MCMC, read_bins) -> bool:
+    """The blocked whole-segment kernel additionally requires
+    unweighted stacks (its rate sweeps reuse integer block-sum
+    norms)."""
+    return _fused_ok(mcmc, read_bins) and not mcmc.stack.has_weights
+
+
+def _fused_segment_history_blocked(mcmc: MCMC, params, cur_nll, width,
+                                   read_bins, device_data, key,
+                                   nsteps: int, m: int,
+                                   debug_mode: bool):
+    """Blocked Metropolis-within-Gibbs phase as ONE kernel launch
+    (PdfStack.fused_segment_blocked); key derivation matches the scan
+    path's ``_presample(keys, npar, m)`` blocked streams exactly."""
+    keys = jax.random.split(key, nsteps)
+    noise, u = _presample(keys, mcmc.nparameters, m)
+    log_u = jnp.log(u)
+    samples, nlls, accs = mcmc.stack.fused_segment_blocked(
+        params, cur_nll, width, read_bins, device_data, noise, log_u,
+        mcmc.static, m, debug_mode)
+    carry = (samples[-1], (nlls[-1, 0], nlls[-1, 1]), width)
+    history = (samples, (nlls[:, 0], nlls[:, 1]), accs[:, 0])
+    return carry, history
 
 
 def _fused_segment_history(mcmc: MCMC, params, cur_nll, width,
@@ -1078,8 +1115,11 @@ def _run_chains_batched(mcmc: MCMC, chain_keys, read_bins, device_data,
 
     # Joint lock-step phases run as ONE batched whole-segment kernel
     # launch when eligible (every chain advances per grid step with a
-    # single shared fetch of each MC chunk; zero per-step dispatch).
+    # single shared fetch of each MC chunk; zero per-step dispatch);
+    # blocked cycles take the blocked whole-segment kernel (rate
+    # substeps in-kernel against the carried histogram, r5).
     use_mega = (not blocked) and _fused_ok(mcmc, read_bins)
+    use_mega_blocked = blocked and _blocked_fused_ok(mcmc, read_bins)
 
     def run_phase(carry, ks, n):
         if use_mega:
@@ -1089,6 +1129,20 @@ def _run_chains_batched(mcmc: MCMC, chain_keys, read_bins, device_data,
             samples, nlls, accs = mcmc.stack.fused_segment(
                 params, cur, width, read_bins, device_data,
                 noise[:, :, 0, :], log_u, st, debug_mode)
+            carry2 = (samples[-1],
+                      (nlls[-1, :, 0], nlls[-1, :, 1]), width)
+            return carry2, (samples,
+                            (nlls[:, :, 0], nlls[:, :, 1]), accs)
+        if use_mega_blocked:
+            params, cur, width = carry
+            noise, u = phase_xs(ks, n)
+            # (n, nchains, m+1, ...) -> the kernel's (n, m+1,
+            # nchains, ...) layout.
+            noise_k = jnp.moveaxis(noise, 1, 2)
+            log_u = jnp.log(jnp.moveaxis(u, 1, 2))
+            samples, nlls, accs = mcmc.stack.fused_segment_blocked(
+                params, cur, width, read_bins, device_data, noise_k,
+                log_u, st, m, debug_mode)
             carry2 = (samples[-1],
                       (nlls[-1, :, 0], nlls[-1, :, 1]), width)
             return carry2, (samples,
@@ -1109,7 +1163,7 @@ def _run_chains_batched(mcmc: MCMC, chain_keys, read_bins, device_data,
         jnp.asarray(mcmc.initial_jump_widths()),
         (nchains, mcmc.nparameters))
     carry = (params0, nll0, width0)
-    if blocked:
+    if blocked and not use_mega_blocked:
         carry = carry + tuple(rebuild_batch(params0))
 
     keys3 = jax.vmap(lambda k: jax.random.split(k, 3))(chain_keys)
@@ -1169,7 +1223,9 @@ def _run_single_chain(mcmc: MCMC, key, read_bins, device_data, *,
                       rate_substeps: int = 0, allow_fused: bool = False):
     # Whole-segment kernel for each fixed-width phase when eligible
     # (joint step, unvmapped, pallas stack): no per-step XLA dispatch
-    # at all — the production single-chain hot path.
+    # at all — the production single-chain hot path.  Blocked Gibbs
+    # cycles run their own whole-segment kernel since r5 (rate moves
+    # in-kernel against the carried histogram).
     if (allow_fused and not _blocked_enabled(mcmc, rate_substeps)
             and _fused_ok(mcmc, read_bins)):
         def init_extras(params):
@@ -1180,6 +1236,16 @@ def _run_single_chain(mcmc: MCMC, key, read_bins, device_data, *,
             return _fused_segment_history(
                 mcmc, params, cur, width, read_bins, device_data,
                 phase_key, n, debug_mode)
+    elif (allow_fused and _blocked_enabled(mcmc, rate_substeps)
+            and _blocked_fused_ok(mcmc, read_bins)):
+        def init_extras(params):
+            return ()
+
+        def run_phase(carry, phase_key, n):
+            params, cur, width = carry[:3]
+            return _fused_segment_history_blocked(
+                mcmc, params, cur, width, read_bins, device_data,
+                phase_key, n, rate_substeps, debug_mode)
     else:
         step, init_extras, m = _make_stepper(
             mcmc, read_bins, device_data, debug_mode, rate_substeps,

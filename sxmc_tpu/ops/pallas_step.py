@@ -1028,6 +1028,374 @@ def pallas_fused_segment(
             accepts.reshape(nsteps, 1))
 
 
+def _make_blocked_segment_kernel(nfields, nobs, systematics, lower,
+                                 upper, nbins, b1, b2, b2_shift,
+                                 mc_chunk, ev_chunk, nsignals,
+                                 n_mc_chunks, n_ev_chunks, nsub, n_mc,
+                                 bin_volume, nexpected, source_id,
+                                 means, sigmas, nsources, debug_mode,
+                                 nch, nexp, nsources_sel):
+    """Whole-segment kernel with BLOCKED Metropolis-within-Gibbs
+    cycles run entirely in-kernel (the r5 extension of the joint
+    segment kernel).
+
+    Per recorded cycle (grid step s): one systematic-block proposal
+    whose histogram rebuild runs the MC phases, then ``nsub - 1``
+    rate-block proposals that REUSE the carried current histogram —
+    each decision needs only an event-phase sweep.  Two persistent
+    histogram scratches carry state: ``hist_cur`` (the accepted
+    state's histogram, carried ACROSS cycles) and ``hist_prop`` (the
+    systematic proposal, rebuilt each cycle); a systematic accept
+    copies prop -> cur in VMEM (a few hundred KB, vs a full rebuild).
+    The scan analog is metropolis._make_blocked_step, whose (lut,
+    norms) carry this replaces; proposal masks and presampled RNG
+    streams match it exactly, with the accept in the kernel's
+    measure-equivalent log form.
+    """
+    npar = len(means)
+    (mc_update, ev_onehot, ev_logs, acc_pair, finish_pair,
+     norm_of_block) = _phase_bodies(
+        nfields, nobs, systematics, lower, upper, nbins, b1, b2,
+        b2_shift, mc_chunk, ev_chunk, nsignals, n_mc, bin_volume,
+        nexpected, source_id, means, sigmas, nsources)
+    cpe = nch // nexp if nexp else nch
+    n_phases = n_mc_chunks + nsub * n_ev_chunks
+
+    def kernel(chunk_seg_ref, mask_ref, hist_init_ref, hist_cur0_ref,
+               params0_ref, nll0_ref, width_ref, noise_ref, logu_ref,
+               mc_ref, rb_ref, samples_ref, nlls_ref, acc_ref,
+               hist_cur, hist_prop, ev_s, cur_s, prop_s, curnll_s,
+               accn_s):
+        s = pl.program_id(0)
+        i = pl.program_id(1)
+
+        def par_of(c):
+            return lambda idx: prop_s[c, idx]
+
+        def hist_prop_of(c):
+            return lambda j: hist_prop[c, j]
+
+        def hist_cur_of(c):
+            return lambda j: hist_cur[c, j]
+
+        def norm_from(hist_get):
+            return lambda j: norm_of_block(hist_get(j))
+
+        def propose(c, sub, rate_block):
+            # Block proposal masks match _make_blocked_step: the
+            # systematic block moves everything EXCEPT rates; rate
+            # blocks move only rates; width <= 0 pins either way.
+            # Block membership is static per coordinate, so unmoved
+            # entries are plain copies of the current state.
+            for k in range(npar):
+                is_rate = k < nsources_sel
+                if rate_block == is_rate:
+                    w = width_ref[c, k]
+                    nz = noise_ref[0, sub, c, k] * jnp.maximum(w, 0.0)
+                    prop_s[c, k] = jnp.where(w > 0, cur_s[c, k] + nz,
+                                             cur_s[c, k])
+                else:
+                    prop_s[c, k] = cur_s[c, k]
+
+        @pl.when(i == 0)
+        def _cycle_start():
+            @pl.when(s == 0)
+            def _first():
+                for c in range(nch):
+                    for k in range(npar):
+                        cur_s[c, k] = params0_ref[c, k]
+                    curnll_s[c, 0] = nll0_ref[c, 0]
+                    curnll_s[c, 1] = nll0_ref[c, 1]
+                hist_cur[:] = hist_cur0_ref[:]
+
+            hist_prop[:] = jnp.broadcast_to(hist_init_ref[:],
+                                            hist_prop.shape)
+            ev_s[:] = jnp.zeros_like(ev_s)
+            for c in range(nch):
+                accn_s[c] = jnp.float32(0.0)
+                propose(c, 0, rate_block=False)
+
+        @pl.when(i < n_mc_chunks)
+        def _mc_phase():
+            sid = chunk_seg_ref[0, i]
+            for c in range(nch):
+                upd, _ = mc_update(sid, mc_ref, mask_ref, par_of(c))
+                hist_prop[c] += upd
+
+        in_ev = i >= n_mc_chunks
+        sub = (i - n_mc_chunks) // n_ev_chunks
+        sweep_end = in_ev & (
+            (i - n_mc_chunks) % n_ev_chunks == n_ev_chunks - 1)
+
+        def _ev_sweep(hist_of):
+            for e in range(nexp or 1):
+                rows = ([rb_ref[e, j] for j in range(nsignals)]
+                        if nexp else
+                        [rb_ref[j] for j in range(nsignals)])
+                oh = ev_onehot(rows)
+                for cc in range(cpe):
+                    c = e * cpe + cc
+                    logsg = ev_logs(oh, hist_of(c), par_of(c),
+                                    norm_from(hist_of(c)))
+                    s_new, lo_new = acc_pair(ev_s[c, 0], ev_s[c, 1],
+                                             logsg)
+                    ev_s[c, 0] = s_new
+                    ev_s[c, 1] = lo_new
+
+        @pl.when(in_ev & (sub == 0))
+        def _ev_phase_syst():
+            _ev_sweep(hist_prop_of)
+
+        @pl.when(in_ev & (sub > 0))
+        def _ev_phase_rate():
+            _ev_sweep(hist_cur_of)
+
+        def _decide(c, hist_of, sub_, copy_hist):
+            prop_hi, prop_lo = finish_pair(
+                hist_of(c), par_of(c), ev_s[c, 0], ev_s[c, 1],
+                norm_from(hist_of(c)))
+            cur_hi = curnll_s[c, 0]
+            cur_lo = curnll_s[c, 1]
+            if debug_mode:
+                acc = jnp.bool_(True)
+            else:
+                delta = (cur_hi - prop_hi) + (cur_lo - prop_lo)
+                acc = (delta > 0) | (logu_ref[0, sub_, c] <= delta)
+            for k in range(npar):
+                cur_s[c, k] = jnp.where(acc, prop_s[c, k], cur_s[c, k])
+            curnll_s[c, 0] = jnp.where(acc, prop_hi, cur_hi)
+            curnll_s[c, 1] = jnp.where(acc, prop_lo, cur_lo)
+            accn_s[c] = accn_s[c] + jnp.where(acc, jnp.float32(1.0),
+                                              jnp.float32(0.0))
+            if copy_hist:
+                hist_cur[c] = jnp.where(acc, hist_prop[c], hist_cur[c])
+
+        # Sweep-end decisions: the systematic block (sub == 0) may
+        # copy prop -> cur; rate blocks never touch the histogram.
+        # Each pl.when body instantiates its sub index STATICALLY via
+        # the per-sub guard so logu/noise rows index statically.
+        for sub_k in range(nsub):
+            is_last = sub_k == nsub - 1
+
+            @pl.when(sweep_end & (sub == sub_k))
+            def _decide_sub(sub_k=sub_k, is_last=is_last):
+                for c in range(nch):
+                    _decide(c, hist_prop_of if sub_k == 0
+                            else hist_cur_of, sub_k,
+                            copy_hist=(sub_k == 0))
+                    if is_last:
+                        for k in range(npar):
+                            samples_ref[0, c, k] = cur_s[c, k]
+                        nlls_ref[0, c, 0] = curnll_s[c, 0]
+                        nlls_ref[0, c, 1] = curnll_s[c, 1]
+                        acc_ref[0, 0, c] = accn_s[c] / jnp.float32(
+                            nsub)
+                if not is_last:
+                    ev_s[:] = jnp.zeros_like(ev_s)
+                    for c in range(nch):
+                        propose(c, sub_k + 1, rate_block=True)
+
+    return kernel, n_phases
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nfields", "nobs", "systematics", "lower", "upper",
+                     "nbins", "nsignals", "mc_chunk", "ev_chunk",
+                     "n_mc", "bin_volume", "nexpected", "source_id",
+                     "means", "sigmas", "nsources", "nsteps",
+                     "rate_substeps", "debug_mode", "interpret"))
+def pallas_fused_segment_blocked(
+    mc_packed: jnp.ndarray,
+    chunk_seg: jnp.ndarray,
+    mask_matrix: jnp.ndarray,
+    hist_init: jnp.ndarray,
+    hist_cur0: jnp.ndarray,
+    rb_packed: jnp.ndarray,
+    params0: jnp.ndarray,
+    nll0: jnp.ndarray,
+    width: jnp.ndarray,
+    noise: jnp.ndarray,
+    log_u: jnp.ndarray,
+    *,
+    nfields: int,
+    nobs: int,
+    systematics: Tuple = (),
+    lower: Tuple[float, ...],
+    upper: Tuple[float, ...],
+    nbins: Tuple[int, ...],
+    nsignals: int,
+    mc_chunk: int,
+    ev_chunk: int,
+    n_mc: Tuple[float, ...],
+    bin_volume: float,
+    nexpected: Tuple[float, ...],
+    source_id: Tuple[int, ...],
+    means: Tuple[float, ...],
+    sigmas: Tuple[float, ...],
+    nsources: int,
+    nsteps: int,
+    rate_substeps: int,
+    debug_mode: bool = False,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Blocked Metropolis-within-Gibbs segment in ONE Pallas launch.
+
+    Grid ``(nsteps, n_mc_chunks + (M+1) * n_ev_chunks)``: per cycle,
+    a systematic-block proposal rebuilds the dynamic histograms (MC
+    phases) and is decided after the first event sweep; then M
+    rate-block proposals each cost ONE event sweep against the
+    carried current histogram — no rebuild, no per-substep XLA
+    dispatch (the scan path pays a launch + ~13 us per rate move).
+
+    Args (beyond ``pallas_fused_segment``):
+        hist_cur0: ``([nch,] nsignals, b1, b2)`` f32 — the CURRENT
+            state's full histogram at ``params0`` (e.g. the hist
+            output of ``pallas_fused_step`` at the segment-start
+            parameters).
+        noise: ``(nsteps, M+1, npar)`` (or ``(nsteps, M+1, nch,
+            npar)`` batched) presampled N(0,1), row 0 the systematic
+            block then the M rate blocks — metropolis._presample's
+            layout.
+        log_u: ``(nsteps, M+1[, nch])`` presampled log accept
+            uniforms.
+
+    Restrictions: diagonal widths only (no tril), unweighted stacks
+    (the blocked rate sweep reuses block-sum norms).  Returns the
+    scan-shaped ``(samples, nlls, accepts)`` histories; ``accepts``
+    is the per-cycle accepted fraction over the M+1 decisions.
+    """
+    nsub = rate_substeps + 1
+    nrows, npad_mc_g, lanes = mc_packed.shape
+    assert lanes == LANES and nrows == nfields, \
+        "blocked fused segment: unweighted stacks only"
+    npad_mc = npad_mc_g * LANES
+    assert npad_mc % mc_chunk == 0
+    n_mc_chunks = npad_mc // mc_chunk
+
+    grouped = rb_packed.ndim == 4
+    if grouped:
+        nexp, nsig_rb, npad_ev_g, lanes2 = rb_packed.shape
+    else:
+        nexp = None
+        nsig_rb, npad_ev_g, lanes2 = rb_packed.shape
+    assert lanes2 == LANES and nsig_rb == nsignals
+    npad_ev = npad_ev_g * LANES
+    assert npad_ev % ev_chunk == 0
+    n_ev_chunks = npad_ev // ev_chunk
+    g_ev = ev_chunk // LANES
+    assert g_ev & (g_ev - 1) == 0, "ev_chunk must be 128 * 2^k"
+
+    total = hist_ops.total_bins(nbins)
+    b1, b2, b2_shift = _balanced_split(total)
+    assert hist_init.shape == (nsignals, b1, b2)
+    batched = params0.ndim == 2
+    nch = params0.shape[0] if batched else 1
+    assert not grouped or (batched and nch % nexp == 0)
+    npar = params0.shape[-1]
+    assert npar == len(means) == len(sigmas)
+    p0_in = jnp.asarray(params0, jnp.float32).reshape(nch, npar)
+    nll0_in = jnp.asarray(nll0, jnp.float32).reshape(nch, 2)
+    width_in = jnp.asarray(width, jnp.float32).reshape(nch, npar)
+    noise_in = jnp.asarray(noise, jnp.float32).reshape(
+        nsteps, nsub, nch, npar)
+    logu_in = jnp.asarray(log_u, jnp.float32).reshape(
+        nsteps, nsub, nch)
+    hist_cur0_in = jnp.broadcast_to(
+        jnp.asarray(hist_cur0, jnp.float32).reshape(
+            -1, nsignals, b1, b2),
+        (nch, nsignals, b1, b2))
+
+    kernel, n_phases = _make_blocked_segment_kernel(
+        nfields, nobs, tuple(systematics), tuple(lower), tuple(upper),
+        tuple(nbins), b1, b2, b2_shift, mc_chunk, ev_chunk, nsignals,
+        n_mc_chunks, n_ev_chunks, nsub, tuple(n_mc), bin_volume,
+        tuple(nexpected), tuple(source_id), tuple(means),
+        tuple(sigmas), nsources, debug_mode, nch, nexp, nsources)
+
+    g_mc = mc_chunk // LANES
+    nmask = mask_matrix.shape[0]
+
+    def mc_index(s, i):
+        return (0, jnp.minimum(i, n_mc_chunks - 1), 0)
+
+    def rb_block(s, i):
+        return jax.lax.rem(jnp.maximum(i - n_mc_chunks, 0),
+                           n_ev_chunks)
+
+    if grouped:
+        rb_spec = pl.BlockSpec(
+            (nexp, nsignals, g_ev, LANES),
+            lambda s, i: (0, 0, rb_block(s, i), 0),
+            memory_space=pltpu.VMEM)
+    else:
+        rb_spec = pl.BlockSpec(
+            (nsignals, g_ev, LANES),
+            lambda s, i: (0, rb_block(s, i), 0),
+            memory_space=pltpu.VMEM)
+
+    def step_row(s, i):
+        return (s, 0, 0)
+
+    samples, nlls, accepts = pl.pallas_call(
+        kernel,
+        grid=(nsteps, n_phases),
+        in_specs=[
+            pl.BlockSpec((1, n_mc_chunks), lambda s, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nmask, nsignals), lambda s, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nsignals, b1, b2), lambda s, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nch, nsignals, b1, b2),
+                         lambda s, i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nch, npar), lambda s, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nch, 2), lambda s, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nch, npar), lambda s, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nsub, nch, npar), lambda s, i: (s, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nsub, nch), lambda s, i: (s, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nfields, g_mc, LANES), mc_index,
+                         memory_space=pltpu.VMEM),
+            rb_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nch, npar), step_row,
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nch, 2), step_row,
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, nch), step_row,
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nsteps, nch, npar), jnp.float32),
+            jax.ShapeDtypeStruct((nsteps, nch, 2), jnp.float32),
+            jax.ShapeDtypeStruct((nsteps, 1, nch), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nch, nsignals, b1, b2), jnp.float32),
+            pltpu.VMEM((nch, nsignals, b1, b2), jnp.float32),
+            pltpu.VMEM((nch, 2, g_ev, LANES), jnp.float32),
+            pltpu.SMEM((nch, npar), jnp.float32),
+            pltpu.SMEM((nch, npar), jnp.float32),
+            pltpu.SMEM((nch, 2), jnp.float32),
+            pltpu.SMEM((nch,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(chunk_seg, mask_matrix, jnp.asarray(hist_init, jnp.float32),
+      hist_cur0_in, p0_in, nll0_in, width_in, noise_in, logu_in,
+      mc_packed, rb_packed)
+    if batched:
+        return samples, nlls, accepts[:, 0, :]
+    return (samples.reshape(nsteps, npar), nlls.reshape(nsteps, 2),
+            accepts.reshape(nsteps, 1))
+
+
 def reduce_pairs(ev_pairs: jnp.ndarray
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Combine per-lane (hi, lo) partials into one compensated pair

@@ -111,10 +111,12 @@ def _batched_segment(mcmc: MCMC, params, nll_pair, width, keys, rb,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mcmc", "nsteps", "debug_mode", "mesh"))
+    static_argnames=("mcmc", "nsteps", "debug_mode", "mesh",
+                     "rate_substeps"))
 def _batched_segment_fused(mcmc: MCMC, params, nll_pair, width, keys,
                            rb, device_data, nsteps: int,
-                           debug_mode: bool, mesh: Mesh):
+                           debug_mode: bool, mesh: Mesh,
+                           rate_substeps: int = 0):
     """One fixed-width segment through the experiment-grouped
     whole-segment kernel, shard_mapped over the mesh's {exp, chain}.
 
@@ -124,23 +126,36 @@ def _batched_segment_fused(mcmc: MCMC, params, nll_pair, width, keys,
     accept rule is the kernel's measure-equivalent log form.
     ``width`` is ``(nexp, nchain, npar)`` diagonal widths or
     ``(nexp, nchain, npar, npar)`` per-chain scale_trils (full_cov).
+    With blocked Gibbs (``rate_substeps > 0``, diagonal only) the
+    shard body runs the blocked whole-segment kernel — rate substeps
+    in-kernel against each chain's carried histogram.
     """
     npar = mcmc.nparameters
     stack = mcmc.stack
     st = mcmc.static
+    m = rate_substeps if metropolis._blocked_enabled(
+        mcmc, rate_substeps) else 0
 
     def body(params_l, hi_l, lo_l, width_l, keys_l, rb_l, dd_l):
         def presample_one(k):
             ks = jax.random.split(k, nsteps)
-            noise, u = metropolis._presample(ks, npar, 0)
-            return noise[:, 0, :], jnp.log(u[:, 0])
+            noise, u = metropolis._presample(ks, npar, m)
+            return noise, jnp.log(u)  # (nsteps, m+1, npar) / (...,)
 
         noise, log_u = jax.vmap(jax.vmap(presample_one))(keys_l)
-        noise = jnp.moveaxis(noise, 2, 0)   # (nsteps, ne, nc, npar)
-        log_u = jnp.moveaxis(log_u, 2, 0)   # (nsteps, ne, nc)
-        samples, nlls, accs = stack.fused_segment(
-            params_l, (hi_l, lo_l), width_l, rb_l, dd_l, noise, log_u,
-            st, debug_mode)
+        if m > 0:
+            # (ne, nc, nsteps, m+1, ...) -> (nsteps, m+1, ne, nc, ...)
+            noise_k = jnp.transpose(noise, (2, 3, 0, 1, 4))
+            logu_k = jnp.transpose(log_u, (2, 3, 0, 1))
+            samples, nlls, accs = stack.fused_segment_blocked(
+                params_l, (hi_l, lo_l), width_l, rb_l, dd_l, noise_k,
+                logu_k, st, m, debug_mode)
+        else:
+            noise_k = jnp.moveaxis(noise[:, :, :, 0, :], 2, 0)
+            logu_k = jnp.moveaxis(log_u[:, :, :, 0], 2, 0)
+            samples, nlls, accs = stack.fused_segment(
+                params_l, (hi_l, lo_l), width_l, rb_l, dd_l, noise_k,
+                logu_k, st, debug_mode)
         # Histories: (nsteps, ne, nc, ...) -> (ne, nc, nsteps, ...).
         samples_h = jnp.moveaxis(samples, 0, 2)
         nll_h = jnp.moveaxis(nlls, 0, 2)
@@ -218,12 +233,15 @@ def _sharded_retune_cov(mcmc: MCMC, tril, count, psum, pcross):
 def _fused_route_ok(mcmc: MCMC, rb, mesh: Mesh, nchains: int,
                     rate_substeps: int) -> bool:
     """True when the segmented runner can drive the experiment-grouped
-    whole-segment kernel: fused-eligible stack, joint (non-blocked)
-    stepper, and batch axes divisible by the mesh (shard_map needs
-    even shards)."""
+    whole-segment kernel: fused-eligible stack (blocked Gibbs
+    additionally requires the unweighted blocked kernel) and batch
+    axes divisible by the mesh (shard_map needs even shards)."""
     nexp = rb.shape[0]
-    return (metropolis._fused_ok(mcmc, rb[0])
-            and not metropolis._blocked_enabled(mcmc, rate_substeps)
+    if metropolis._blocked_enabled(mcmc, rate_substeps):
+        eligible = metropolis._blocked_fused_ok(mcmc, rb[0])
+    else:
+        eligible = metropolis._fused_ok(mcmc, rb[0])
+    return (eligible
             and nexp % mesh.shape["exp"] == 0
             and nchains % mesh.shape["chain"] == 0)
 
@@ -514,7 +532,8 @@ def _run_sharded_ensemble_segmented(
                     params, nll_pair, samples, nlls, _ = \
                         _batched_segment_fused(
                             mcmc, params, nll_pair, width, keys, rb_s,
-                            device_data, seg_len, fc.debug_mode, mesh)
+                            device_data, seg_len, fc.debug_mode, mesh,
+                            rate_substeps)
                 else:
                     params, nll_pair, samples, nlls, _ = \
                         _batched_segment(

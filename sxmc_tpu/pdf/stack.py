@@ -579,6 +579,106 @@ class PdfStack:
             nsteps=int(noise.shape[0]), debug_mode=bool(debug_mode),
             interpret=self._interpret)
 
+    def fused_segment_blocked(self, params0, nll0_pair, width,
+                              read_bins, device_data, noise, log_u,
+                              st, rate_substeps: int,
+                              debug_mode: bool = False):
+        """A whole blocked Metropolis-within-Gibbs segment in ONE
+        Pallas launch (ops.pallas_step.pallas_fused_segment_blocked):
+        per cycle, one systematic-block rebuild + ``rate_substeps``
+        rate-block decisions that reuse the carried current histogram
+        in VMEM — each rate move costs one event sweep instead of the
+        scan path's launch + dispatch.  Unweighted stacks only.
+
+        Layouts: ``noise`` is ``(nsteps, M+1, npar)`` for one chain,
+        ``(nsteps, M+1, nch, npar)`` batched, ``(nsteps, M+1, nexp,
+        cpe, npar)`` grouped — row 0 of the M+1 axis is the
+        systematic block (metropolis._presample's blocked streams);
+        ``log_u`` drops the trailing npar.  Other shapes follow
+        :meth:`fused_segment`, including the experiment-grouped form.
+        """
+        from sxmc_tpu.ops import pallas_step
+        from sxmc_tpu.ops.pallas_hist import LANES
+
+        if not self.supports_fused or self.has_weights:
+            raise NotImplementedError(
+                "blocked fused segment requires an unweighted pallas "
+                "per-segment stack without KDE rows")
+        self._fused_setup()
+
+        b1, b2 = self._fused_b1b2
+        nev = read_bins.shape[-1]
+        grouped = read_bins.ndim == 3
+        nsub = rate_substeps + 1
+        if grouped:
+            nexp, cpe, npar = params0.shape
+            nch = nexp * cpe
+            nsteps = noise.shape[0]
+        else:
+            nexp, cpe = 1, None
+            nch = params0.shape[0] if params0.ndim == 2 else 1
+            npar = params0.shape[-1]
+            nsteps = noise.shape[0]
+        ev_chunk = pallas_step.pick_event_chunk(
+            nev, self.nsignals, b1, b2, nch=nch, nexp=nexp)
+        npad = -(-nev // ev_chunk) * ev_chunk
+        pad_width = [(0, 0)] * (read_bins.ndim - 1) \
+            + [(0, npad - nev)]
+        rb = jnp.pad(jnp.asarray(read_bins, jnp.int32), pad_width,
+                     constant_values=-2)
+        rb = rb.reshape(tuple(read_bins.shape[:-1])
+                        + (npad // LANES, LANES))
+        nll0 = jnp.stack([jnp.asarray(nll0_pair[0], jnp.float32),
+                          jnp.asarray(nll0_pair[1], jnp.float32)],
+                         axis=-1)
+        p0_flat = jnp.asarray(params0, jnp.float32).reshape(nch, npar)
+
+        common = dict(
+            nfields=self.nfields, nobs=self.nobservables,
+            systematics=self._fused_systs,
+            lower=self.lower_host, upper=self.upper_host,
+            nbins=self.nbins, nsignals=self.nsignals,
+            mc_chunk=self._seg_chunk, ev_chunk=ev_chunk,
+            n_mc=tuple(float(x) for x in np.asarray(self.n_mc)),
+            bin_volume=self.bin_volume,
+            nexpected=tuple(float(x) for x in st.nexpected),
+            source_id=tuple(int(x) for x in st.source_id),
+            means=tuple(float(x) for x in st.means),
+            sigmas=tuple(float(x) for x in st.sigmas),
+            nsources=int(st.nsources), interpret=self._interpret)
+
+        # The current state's full histogram at params0 (hist is
+        # rb-independent, so the shared one-shot kernel provides it
+        # with any rb slice — one extra launch per SEGMENT).
+        rb_any = rb[0] if grouped else rb
+        hist_cur0, _, _ = pallas_step.pallas_fused_step(
+            device_data[0], self._fused_chunk_seg,
+            self._fused_mask_matrix,
+            jnp.asarray(self._fused_hist_init), rb_any, p0_flat,
+            **common)
+
+        samples, nlls, accs = pallas_step.pallas_fused_segment_blocked(
+            device_data[0], self._fused_chunk_seg,
+            self._fused_mask_matrix,
+            jnp.asarray(self._fused_hist_init), hist_cur0, rb,
+            p0_flat, nll0.reshape(nch, 2),
+            jnp.asarray(width, jnp.float32).reshape(nch, npar),
+            jnp.asarray(noise, jnp.float32).reshape(
+                nsteps, nsub, nch, npar),
+            jnp.asarray(log_u, jnp.float32).reshape(
+                nsteps, nsub, nch),
+            nsteps=nsteps, rate_substeps=rate_substeps,
+            debug_mode=bool(debug_mode), **common)
+        if grouped:
+            return (samples.reshape(nsteps, nexp, cpe, npar),
+                    nlls.reshape(nsteps, nexp, cpe, 2),
+                    accs.reshape(nsteps, nexp, cpe))
+        if params0.ndim == 1:
+            # The kernel always sees the (nch, npar) form; unwrap the
+            # single-chain axis back to run_segment's scan layout.
+            return samples[:, 0], nlls[:, 0], accs[:, 0:1]
+        return samples, nlls, accs
+
     # ------------------------------------------------------------------
 
     def set_data(self, data: np.ndarray) -> None:

@@ -284,3 +284,76 @@ class TestFullCovSegmented:
                 jnp.asarray(tril0), jnp.asarray(hist))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-3, atol=2e-5)
+
+
+class TestGroupedBlockedSegment:
+    def test_blocked_grouped_matches_per_chain(self):
+        """rate_substeps through the sharded ensemble's shard body:
+        the grouped blocked kernel advances each (exp, chain) exactly
+        as a standalone blocked run_segment with that experiment's rb
+        and the same key."""
+        nexp, nchain, nsteps, m = 2, 2, 6, 2
+        mcmc, rb, params, width = _grouped_fixture(nexp, nchain)
+        dd = mcmc.stack.device_data
+        st = mcmc.static
+        his, los = [], []
+        for e in range(nexp):
+            h, l = mcmc.stack.fused_nll_pair(params[e], rb[e], dd, st)
+            his.append(h)
+            los.append(l)
+        nll_hi, nll_lo = jnp.stack(his), jnp.stack(los)
+
+        mesh = mesh_lib.make_mesh(exp=2, chain=2)
+        keys = par_ensemble._segment_keys(jax.random.PRNGKey(5),
+                                          nexp, nchain, 0, 0)
+        with mesh:
+            p, nll, samples, nlls, acc = \
+                par_ensemble._batched_segment_fused(
+                    mcmc, params, (nll_hi, nll_lo), width, keys, rb,
+                    dd, nsteps, False, mesh, m)
+        for e in range(nexp):
+            for c in range(nchain):
+                pf, nf, s1, n1, a1 = metropolis.run_segment(
+                    mcmc, params[e, c], (nll_hi[e, c], nll_lo[e, c]),
+                    width[e, c], rb[e], dd, keys[e, c], nsteps,
+                    rate_substeps=m)
+                np.testing.assert_array_equal(
+                    np.asarray(samples)[e, c], np.asarray(s1))
+                np.testing.assert_array_equal(
+                    np.asarray(nlls[0])[e, c], np.asarray(n1[0]))
+
+    def test_blocked_kill_and_resume_bitwise(self, tmp_path):
+        fc = _config()
+        fc.rate_substeps = 3
+
+        with force_pallas_interpret():
+            pA = str(tmp_path / "bA")
+            lsA, limA = par_ensemble.run_sharded_ensemble(
+                fc, verbose=False, checkpoint_path=pA,
+                checkpoint_steps=40)
+            pB = str(tmp_path / "bB")
+            real = par_ensemble._batched_segment_fused
+            calls = {"n": 0}
+
+            def dying(*args, **kwargs):
+                if calls["n"] >= 2:
+                    raise RuntimeError("simulated preemption")
+                calls["n"] += 1
+                return real(*args, **kwargs)
+
+            par_ensemble._batched_segment_fused = dying
+            try:
+                with pytest.raises(RuntimeError, match="preemption"):
+                    par_ensemble.run_sharded_ensemble(
+                        fc, verbose=False, checkpoint_path=pB,
+                        checkpoint_steps=40)
+            finally:
+                par_ensemble._batched_segment_fused = real
+            lsB, limB = par_ensemble.run_sharded_ensemble(
+                fc, verbose=False, checkpoint_path=pB,
+                checkpoint_steps=40, resume=True)
+
+        np.testing.assert_array_equal(np.asarray(limA),
+                                      np.asarray(limB))
+        for a, b in zip(lsA, lsB):
+            np.testing.assert_array_equal(a.samples, b.samples)
