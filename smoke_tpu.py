@@ -738,6 +738,62 @@ def smoke_fused_segment_blocked():
     _run(check, noise, log_u, p0, width, rb, *dd, atol=1e-5)
 
 
+@case("fused_segment_tempered_beta")
+def smoke_fused_segment_tempered_beta():
+    """Per-chain beta annealing of the in-kernel accept (the tempered
+    ladder's whole-segment path, r5): a 3-replica batched segment with
+    betas (1, 0.5, 0.25) must match a step-by-step one-shot drive
+    with the beta-scaled log accept, per replica."""
+    import jax
+    import jax.numpy as jnp
+
+    from sxmc_tpu.mcmc import metropolis
+
+    stack, st, data, rng = _fused_stack_fixture(41, n_mc=100_000,
+                                                nevents=1500)
+    if not stack.supports_fused:
+        if INTERPRET:
+            print("  (skipped: CPU stack has no pallas path)",
+                  file=sys.stderr)
+            return
+        raise AssertionError("stack should support the fused path")
+    stack.set_data(data)
+    rb = stack._read_bins
+    dd = stack.device_data
+    nch, nsteps, npar = 3, 10, 3
+    betas = jnp.asarray([1.0, 0.5, 0.25], jnp.float32)
+    noise = rng.normal(size=(nsteps, nch, npar)).astype(np.float32)
+    log_u = np.log(rng.uniform(size=(nsteps, nch)).astype(np.float32))
+    params0 = np.tile(np.asarray([1.0, 1.0, 0.0], np.float32),
+                      (nch, 1))
+    width = np.tile(np.asarray([0.08, 0.08, 0.02], np.float32),
+                    (nch, 1))
+
+    def check(noise, log_u, params0, width, betas, rb, *dd):
+        hi, lo = stack.fused_nll_pair(params0, rb, dd, st)
+        samples, nlls, accs = stack.fused_segment(
+            params0, (hi, lo), width, rb, dd, noise, log_u, st,
+            beta=betas)
+        params = params0
+        cur_hi, cur_lo = hi, lo
+        ref = []
+        for s in range(nsteps):
+            nz = noise[s] * jnp.maximum(width, 0.0)
+            prop = jnp.where(width > 0, params + nz, params)
+            phi, plo = stack.fused_nll_pair(prop, rb, dd, st)
+            delta = betas * ((cur_hi - phi) + (cur_lo - plo))
+            a = (delta > 0) | (log_u[s] <= delta)
+            params = jnp.where(a[:, None], prop, params)
+            cur_hi = jnp.where(a, phi, cur_hi)
+            cur_lo = jnp.where(a, plo, cur_lo)
+            ref.append(params)
+        return jnp.max(jnp.abs(samples - jnp.stack(ref)))
+
+    _run(check, jnp.asarray(noise), jnp.asarray(log_u),
+         jnp.asarray(params0), jnp.asarray(width), betas, rb, *dd,
+         atol=1e-5)
+
+
 @case("fused_step_weighted")
 def smoke_fused_step_weighted():
     """Weighted MC through the fused kernels on hardware (r5): the

@@ -14,9 +14,13 @@ cold chain.  Only the cold chain's samples are returned.
 This is impossible in the reference (single serial chain,
 mcmc.cpp:261-378) and is a natural fit for the TPU batched machinery:
 the ladder advances in LOCK-STEP, so every step's ``ntemps`` PDF
-rebuilds are ONE fused (temps x signals) Pallas kernel launch — exactly
-the multi-chain batched path (PdfStack.evaluate_batch), with the swap
-phase a cheap masked row permutation.
+rebuilds are ONE fused (temps x signals) Pallas kernel launch.  On
+fused-eligible stacks (r5) each whole SWAP INTERVAL runs as one
+batched whole-segment kernel launch — the per-replica beta anneals
+the in-kernel accept and the 1/sqrt(beta) proposal widening folds
+into the per-replica width rows — with the exchange an XLA
+permutation between launches; other stacks scan the batched stepper
+(PdfStack.evaluate_batch) per step.
 
 Proposal widths scale as 1/sqrt(beta) (the annealed posterior is
 ~1/beta wider), and each replica retunes from its own burn-in RMS like
@@ -220,6 +224,136 @@ def tempered_segment(mcmc: MCMC, params, cur_nll, width, istep,
             accepts.mean(), swap_rate)
 
 
+def _make_tempered_fused_phase(mcmc: MCMC, read_bins, device_data,
+                               debug_mode: bool, betas,
+                               swap_every: int):
+    """Phase runner on the whole-segment kernel (r5): each full swap
+    interval is ONE batched kernel launch over the replica ladder
+    (per-replica beta annealing the in-kernel accept, the 1/sqrt(beta)
+    widening folded into the per-replica width rows), with the replica
+    exchange as an XLA permutation between launches.
+
+    Measure-equivalent to the scan stepper: same annealed Metropolis
+    and same detailed-balance swaps, but the swap cadence aligns to
+    phase-local intervals (the scan path counts a single global step
+    index across phases) and the accept is the kernel's log form.
+    """
+    ntemps = len(betas)
+    beta = jnp.asarray(betas, jnp.float32)
+    st = mcmc.static
+    npar = mcmc.nparameters
+
+    idx = np.arange(ntemps)
+    p0 = idx ^ 1
+    p0[p0 >= ntemps] = idx[p0 >= ntemps]
+    p1 = np.where(idx == 0, 0, ((idx - 1) ^ 1) + 1)
+    p1[p1 >= ntemps] = idx[p1 >= ntemps]
+    if ntemps == 2:
+        p1 = p0
+    partners = jnp.asarray(np.stack([p0, p1]), jnp.int32)
+
+    def interval_xs(k, n):
+        # Per-replica presampled streams for one interval, kernel
+        # layout: noise (n, ntemps, npar), log_u (n, ntemps).
+        ks = jax.random.split(k, ntemps)
+        split = jax.vmap(lambda kk: jax.random.split(
+            kk, 2 * n).reshape(n, 2, -1))(ks)
+        noise = jax.vmap(jax.vmap(
+            lambda kk: jax.random.normal(kk, (npar,))))(
+                split[:, :, 0])
+        u = jax.vmap(jax.vmap(
+            lambda kk: jax.random.uniform(kk, ())))(split[:, :, 1])
+        return (jnp.moveaxis(noise, 0, 1),
+                jnp.log(jnp.moveaxis(u, 0, 1)))
+
+    def segment(params, nll_pair, width, k, n):
+        noise, log_u = interval_xs(k, n)
+        w_eff = width / jnp.sqrt(beta)[:, None]
+        return mcmc.stack.fused_segment(
+            params, nll_pair, w_eff, read_bins, device_data, noise,
+            log_u, st, debug_mode, beta=beta)
+
+    def swap(params, hi, lo, iidx, k_swap):
+        pairing = iidx % 2
+        partner = partners[pairing]
+        pair_u = jax.random.uniform(k_swap, (ntemps,))
+        low = jnp.minimum(jnp.arange(ntemps), partner)
+        u_pair = pair_u[low]
+        nll_d = df_diff(hi, lo, hi[partner], lo[partner])
+        log_a = (beta - beta[partner]) * nll_d
+        ok = (partner != jnp.arange(ntemps)) & (
+            (log_a >= 0) | (u_pair <= jnp.exp(log_a)))
+        swapped = jnp.where(ok[:, None], params[partner], params)
+        sw_hi = jnp.where(ok, hi[partner], hi)
+        sw_lo = jnp.where(ok, lo[partner], lo)
+        nswaps = (ok & (jnp.arange(ntemps) < partner)).sum()
+        npairs = jnp.maximum(
+            (partner > jnp.arange(ntemps)).sum(), 1)
+        return (swapped, sw_hi, sw_lo,
+                nswaps.astype(jnp.float32) / npairs)
+
+    def run_phase(carry, k, n):
+        params, (hi, lo), width, iidx = carry
+        nfull = n // swap_every
+        rem = n - nfull * swap_every
+        outs_s, outs_h, outs_l, outs_a = [], [], [], []
+        swap_fracs = []
+
+        if nfull > 0:
+            keys = jax.random.split(k, nfull + 1)
+            seg_keys = jax.vmap(jax.random.split)(keys[:nfull])
+
+            def body(c, xs):
+                p, hhi, llo, ii = c
+                kseg, kswap = xs[0], xs[1]
+                samples, nlls, accs = segment(
+                    p, (hhi, llo), width, kseg, swap_every)
+                p2 = samples[-1]
+                h2 = nlls[-1, :, 0]
+                l2 = nlls[-1, :, 1]
+                p3, h3, l3, frac = swap(p2, h2, l2, ii, kswap)
+                # Record the post-swap state at the interval's last
+                # step (the scan stepper's convention).
+                cold_s = samples[:, 0, :].at[-1].set(p3[0])
+                cold_h = nlls[:, 0, 0].at[-1].set(h3[0])
+                cold_l = nlls[:, 0, 1].at[-1].set(l3[0])
+                return ((p3, h3, l3, ii + 1),
+                        (cold_s, cold_h, cold_l, accs[:, 0], frac))
+
+            (params, hi, lo, iidx), (cs, ch, cl, ca, fr) = \
+                jax.lax.scan(body, (params, hi, lo, iidx),
+                             (seg_keys[:, 0], seg_keys[:, 1]))
+            outs_s.append(cs.reshape(-1, npar))
+            outs_h.append(ch.reshape(-1))
+            outs_l.append(cl.reshape(-1))
+            outs_a.append(ca.reshape(-1))
+            swap_fracs.append(fr)
+            k = keys[-1]
+
+        if rem > 0:
+            samples, nlls, accs = segment(params, (hi, lo), width, k,
+                                          rem)
+            params = samples[-1]
+            hi = nlls[-1, :, 0]
+            lo = nlls[-1, :, 1]
+            outs_s.append(samples[:, 0, :])
+            outs_h.append(nlls[:, 0, 0])
+            outs_l.append(nlls[:, 0, 1])
+            outs_a.append(accs[:, 0])
+
+        cold_samples = jnp.concatenate(outs_s, axis=0)
+        cold_nll = (jnp.concatenate(outs_h, axis=0),
+                    jnp.concatenate(outs_l, axis=0))
+        accepts = jnp.concatenate(outs_a, axis=0)
+        fr = (jnp.concatenate(swap_fracs) if swap_fracs
+              else jnp.zeros((0,), jnp.float32))
+        att = jnp.ones_like(fr)
+        carry2 = (params, (hi, lo), width, iidx)
+        return carry2, (cold_samples, cold_nll, accepts, (fr, att))
+
+    return run_phase
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mcmc", "nsteps", "burnin_steps", "debug_mode",
@@ -231,6 +365,8 @@ def _run_tempered(mcmc: MCMC, key, read_bins, device_data, nsteps: int,
 
     History: (samples, (nll_hi, nll_lo), accept, swap_rate) with
     samples/nlls the COLD replica's post-step state per recorded step.
+    On fused-eligible stacks every swap interval runs as one batched
+    whole-segment kernel launch (per-replica beta in-kernel, r5).
     """
     ntemps = len(betas)
     fixed = jnp.asarray(mcmc.parameter_fixed)
@@ -238,8 +374,13 @@ def _run_tempered(mcmc: MCMC, key, read_bins, device_data, nsteps: int,
     step, phase_keys, batch_nll = _make_tempered_step(
         mcmc, read_bins, device_data, debug_mode, betas, swap_every)
 
-    def run_phase(carry, k, n):
-        return jax.lax.scan(step, carry, phase_keys(k, n))
+    if metropolis._fused_ok(mcmc, read_bins):
+        run_phase = _make_tempered_fused_phase(
+            mcmc, read_bins, device_data, debug_mode, betas,
+            swap_every)
+    else:
+        def run_phase(carry, k, n):
+            return jax.lax.scan(step, carry, phase_keys(k, n))
 
     def retune(width, cold_samples):
         # Every replica shares the COLD chain's RMS scale (hot replicas

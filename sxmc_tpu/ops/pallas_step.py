@@ -623,7 +623,8 @@ def _make_segment_kernel(nfields, nobs, systematics, lower, upper,
                          nsignals, n_mc_chunks, n_phases, n_mc,
                          bin_volume, nexpected, source_id, means,
                          sigmas, nsources, debug_mode, use_tril, nch,
-                         nexp, weighted=False, has_wrow=False):
+                         nexp, weighted=False, has_wrow=False,
+                         tempered=False):
     """Whole-segment kernel body; ``nch`` lock-step chains share every
     MC/rb block fetch (the single-chain case is ``nch == 1``).
 
@@ -648,17 +649,28 @@ def _make_segment_kernel(nfields, nobs, systematics, lower, upper,
     cpe = nch // nexp if nexp else nch
 
     def kernel(*refs):
-        if weighted:
-            (chunk_seg_ref, mask_ref, hist_init_ref, norm_init_ref,
-             params0_ref, nll0_ref, width_ref, noise_ref, logu_ref,
-             mc_ref, rb_ref, samples_ref, nlls_ref, acc_ref,
-             hist_s, ev_s, cur_s, prop_s, curnll_s, norm_s) = refs
-        else:
-            (chunk_seg_ref, mask_ref, hist_init_ref, params0_ref,
-             nll0_ref, width_ref, noise_ref, logu_ref, mc_ref,
-             rb_ref, samples_ref, nlls_ref, acc_ref,
-             hist_s, ev_s, cur_s, prop_s, curnll_s) = refs
-            norm_init_ref = norm_s = None
+        refs = list(refs)
+        chunk_seg_ref = refs.pop(0)
+        mask_ref = refs.pop(0)
+        hist_init_ref = refs.pop(0)
+        norm_init_ref = refs.pop(0) if weighted else None
+        params0_ref = refs.pop(0)
+        nll0_ref = refs.pop(0)
+        width_ref = refs.pop(0)
+        beta_ref = refs.pop(0) if tempered else None
+        noise_ref = refs.pop(0)
+        logu_ref = refs.pop(0)
+        mc_ref = refs.pop(0)
+        rb_ref = refs.pop(0)
+        samples_ref = refs.pop(0)
+        nlls_ref = refs.pop(0)
+        acc_ref = refs.pop(0)
+        hist_s = refs.pop(0)
+        ev_s = refs.pop(0)
+        cur_s = refs.pop(0)
+        prop_s = refs.pop(0)
+        curnll_s = refs.pop(0)
+        norm_s = refs.pop(0) if weighted else None
         s = pl.program_id(0)
         i = pl.program_id(1)
 
@@ -763,8 +775,13 @@ def _make_segment_kernel(nfields, nobs, systematics, lower, upper,
                     # becomes log(u) <= delta (log_u precomputed on
                     # the XLA side so the kernel needs no
                     # transcendental and stays bit-reproducible
-                    # across backends).
+                    # across backends).  Tempered replicas anneal the
+                    # accept by their inverse temperature (beta > 0
+                    # preserves the sign, so the fast-accept branch
+                    # is unchanged).
                     delta = (cur_hi - prop_hi) + (cur_lo - prop_lo)
+                    if tempered:
+                        delta = beta_ref[0, c] * delta
                     acc = (delta > 0) | (logu_ref[0, 0, c] <= delta)
                     for k in range(npar):
                         cur_s[c, k] = jnp.where(acc, prop_s[c, k],
@@ -800,6 +817,7 @@ def pallas_fused_segment(
     noise: jnp.ndarray,
     log_u: jnp.ndarray,
     norm_init: Optional[jnp.ndarray] = None,
+    beta: Optional[jnp.ndarray] = None,
     *,
     nfields: int,
     nobs: int,
@@ -855,6 +873,11 @@ def pallas_fused_segment(
         norm_init: ``(1, nsignals)`` f32 — WEIGHTED stacks only (see
             ``pallas_fused_step``): switches to compensated norm
             accumulation, reset per step at the propose phase.
+        beta: optional ``(nchains,)`` f32 inverse temperatures —
+            tempered-replica ladders anneal each chain's accept as
+            ``log(u) <= beta_c * delta`` (parallel tempering; the
+            1/sqrt(beta) proposal widening folds into the per-chain
+            ``width`` rows outside).
 
     Batched lock-step chains: pass ``params0`` as ``(nchains, npar)``
     (with ``nll0`` ``(nchains, 2)``, ``width`` ``(nchains, npar)``,
@@ -937,7 +960,8 @@ def pallas_fused_segment(
         n_mc_chunks, n_phases, tuple(n_mc), bin_volume,
         tuple(nexpected), tuple(source_id), tuple(means), tuple(sigmas),
         nsources, debug_mode, use_tril, nch, nexp,
-        weighted=weighted, has_wrow=has_wrow)
+        weighted=weighted, has_wrow=has_wrow,
+        tempered=beta is not None)
 
     g_mc = mc_chunk // LANES
     nmask = mask_matrix.shape[0]
@@ -994,6 +1018,13 @@ def pallas_fused_segment(
         pltpu.SMEM((nch, npar), jnp.float32),
         pltpu.SMEM((nch, 2), jnp.float32),
     ]
+    if beta is not None:
+        wi = in_specs.index(width_spec)
+        in_specs.insert(wi + 1, pl.BlockSpec((1, nch),
+                                             lambda s, i: (0, 0),
+                                             memory_space=pltpu.SMEM))
+        operands.insert(wi + 1, jnp.asarray(beta, jnp.float32
+                                            ).reshape(1, nch))
     if weighted:
         in_specs.insert(3, pl.BlockSpec((1, nsignals),
                                         lambda s, i: (0, 0),

@@ -470,7 +470,7 @@ class PdfStack:
 
     def fused_segment(self, params0, nll0_pair, width, read_bins,
                       device_data, noise, log_u, st,
-                      debug_mode: bool = False):
+                      debug_mode: bool = False, beta=None):
         """A whole Metropolis segment in ONE Pallas launch
         (ops.pallas_step.pallas_fused_segment): per step the kernel
         proposes from presampled ``noise``, rebuilds, evaluates the
@@ -537,6 +537,7 @@ class PdfStack:
                     nsteps, nch, npar),
                 jnp.asarray(log_u, jnp.float32).reshape(nsteps, nch),
                 norm_init=self._fused_norm_init,
+                beta=beta,
                 nfields=self.nfields, nobs=self.nobservables,
                 systematics=self._fused_systs,
                 lower=self.lower_host, upper=self.upper_host,
@@ -564,6 +565,7 @@ class PdfStack:
             jnp.asarray(noise, jnp.float32),
             jnp.asarray(log_u, jnp.float32),
             norm_init=self._fused_norm_init,
+            beta=beta,
             nfields=self.nfields, nobs=self.nobservables,
             systematics=self._fused_systs,
             lower=self.lower_host, upper=self.upper_host,
